@@ -1,0 +1,37 @@
+"""Whole-column operators: hashing, table layouts, joins, unnest, filter."""
+
+from .hashing import murmur32, murmur32_np
+from .layout import GroupIndex, key_group_index, lookup, expand
+from .chaining import (
+    ChainingTable,
+    ChainProbeResult,
+    build_chaining,
+    probe_chaining,
+    materialize_chaining_join,
+)
+from .nested import (
+    NestedTable,
+    NestedBatch,
+    build_nested,
+    probe_nested,
+    unnest,
+)
+
+__all__ = [
+    "murmur32",
+    "murmur32_np",
+    "GroupIndex",
+    "key_group_index",
+    "lookup",
+    "expand",
+    "ChainingTable",
+    "ChainProbeResult",
+    "build_chaining",
+    "probe_chaining",
+    "materialize_chaining_join",
+    "NestedTable",
+    "NestedBatch",
+    "build_nested",
+    "probe_nested",
+    "unnest",
+]

@@ -1,0 +1,210 @@
+"""Chaining hash-table equivalent: build + vectorized probe with exact counters.
+
+TPU-native re-design of ``HtChaining1`` (``ht_chaining.hh:38-158``) and of the
+``AlgHashJoinBuild`` / ``AlgHashJoinProbe`` operators (``algebra.hh:556-672``).
+
+The reference stores one 24-byte Node per build row in bucket chains and probes
+tuple-at-a-time, walking the chain and counting one comparison per node visited
+(``algebra.hh:644-658``).  Probe cost therefore grows with duplicates-per-key.
+Here the table is a dense CSR layout (see ``layout.py``); the probe is a
+whole-column pipeline (hash -> bucket gather -> binary-search match) whose
+*measured* counters reproduce the reference semantics exactly:
+
+* ``num_cmps``  - sum over probe tuples of the chain length walked:
+    - no early exit (``IsBuildKeyUnique=False``): full chain, i.e.
+      ``bucket_len[bucket(probe)]`` (0 when the bucket is empty -- the reference
+      returns before counting, ``algebra.hh:640-643``);
+    - early exit (``IsBuildKeyUnique=True``, ``algebra.hh:653-655``): the 1-based
+      chain position of the first matching node, or the full chain length on a
+      miss.
+* ``num_matches`` - emitted result tuples (``AlgBase::_count`` of the probe op).
+
+Chain positions are derived analytically from insertion order: the directory
+node holds the bucket's first-inserted row and later rows head-insert behind it
+(``ht_chaining.hh::insert``), so chain order is [first, rest reversed].
+
+Result-set note: materialized join outputs are bit-exact as *multisets*; the
+per-probe emission order follows the key-group layout rather than the bucket
+chain interleaving (an artifact of the reference's linked lists; see SURVEY.md
+section 7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hashing import murmur32
+from .layout import I32, U32, GroupIndex, bucket_csr, expand, key_group_index, lookup
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ChainingTable:
+    """Dense chaining-hash-table state (the ``hashtable()`` of a build op).
+
+    ``num_buckets`` is static (compile-time), mirroring the reference's
+    constructor argument (``algebra.hh:566-567``).
+    """
+
+    groups: GroupIndex        # distinct-key directory + CSR duplicate groups
+    bucket_start: jax.Array   # i32[nb]
+    bucket_len: jax.Array     # i32[nb]
+    pos_by_row: jax.Array     # i32[n] 0-based chain position of each build row
+    group_min_pos: jax.Array  # i32[n] min chain position among each key's rows
+    group_chain_first: jax.Array  # i32[n] row at that min position (first match
+    #                                       in chain order, for early-exit emit)
+    keys: jax.Array           # u32[n] original build key column
+    num_buckets: int = field(metadata=dict(static=True), default=1)
+
+    @property
+    def size(self):
+        return self.keys.shape[0]
+
+
+@partial(jax.jit, static_argnames=("num_buckets",))
+def build_chaining(keys: jax.Array, num_buckets: int) -> ChainingTable:
+    """Build the chaining table from a build-side key column.
+
+    Equivalent of scanning the build relation through ``AlgHashJoinBuild::step``
+    (``algebra.hh:574-577``) -- but as two sorts + histograms instead of n
+    pointer insertions into a ``Reservoir`` arena.
+    """
+    keys = keys.astype(U32)
+    n = keys.shape[0]
+    row = jnp.arange(n, dtype=I32)
+
+    h = murmur32(keys)
+    b = (h % jnp.uint32(num_buckets)).astype(I32)
+
+    bucket_start, bucket_len = bucket_csr(b, num_buckets)
+
+    # Chain position per row: stable sort by bucket keeps insertion (row) order,
+    # giving each row its insertion rank within its bucket.
+    b_sorted, srow = lax.sort((b, row), num_keys=1, is_stable=True)
+    rank = jnp.arange(n, dtype=I32) - bucket_start[b_sorted]
+    blen_sorted = bucket_len[b_sorted]
+    # insertion rank 0 -> chain pos 0 (directory node); rank p>0 -> pos len-p
+    pos_sorted = jnp.where(rank == 0, 0, blen_sorted - rank)
+    pos_by_row = jnp.zeros(n, I32).at[srow].set(pos_sorted)
+
+    groups = key_group_index(keys)
+
+    # Minimum chain position among each key's rows: the node the early-exit
+    # probe stops at.
+    gid_sorted = groups.gid_by_row[srow]
+    group_min_pos = jnp.full(n, n, I32).at[gid_sorted].min(pos_sorted)
+    # The row sitting at that minimum position: due to LIFO head-insertion this
+    # is the *last inserted* duplicate (or the bucket's directory row), and it is
+    # the tuple an early-exit probe emits (``algebra.hh:650-655``).
+    is_min = pos_sorted == group_min_pos[gid_sorted]
+    group_chain_first = (
+        jnp.full(n, -1, I32).at[gid_sorted].max(jnp.where(is_min, srow, -1))
+    )
+
+    return ChainingTable(
+        groups=groups,
+        bucket_start=bucket_start,
+        bucket_len=bucket_len,
+        pos_by_row=pos_by_row,
+        group_min_pos=group_min_pos,
+        group_chain_first=group_chain_first,
+        keys=keys,
+        num_buckets=num_buckets,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ChainProbeResult:
+    """Per-probe match descriptors + plan counters (all static-shape)."""
+
+    g: jax.Array            # i32[P] candidate group per probe
+    hit: jax.Array          # bool[P]
+    match_count: jax.Array  # i32[P] tuples this probe emits
+    num_matches: jax.Array  # i64[] total emitted tuples (c_htProbe)
+    num_cmps: jax.Array     # i64[] total chain comparisons (c_htProbeCmp)
+
+
+@partial(jax.jit, static_argnames=("unique",))
+def probe_chaining(
+    table: ChainingTable,
+    probe_keys: jax.Array,
+    unique: bool = False,
+    mask: jax.Array | None = None,
+) -> ChainProbeResult:
+    """Vectorized ``AlgHashJoinProbe`` (``algebra.hh:625-659``).
+
+    ``unique`` mirrors the ``IsBuildKeyUnique`` template parameter
+    (``algebra.hh:600-603``): the probe stops at the first matching chain node,
+    so at most one tuple is emitted per probe and comparisons stop at the match
+    position.  ``mask`` marks which probe rows are live (the vectorized stand-in
+    for upstream operators not calling ``step`` on filtered-out tuples).
+    """
+    pk = probe_keys.astype(U32)
+    h = murmur32(pk)
+    b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+    blen = table.bucket_len[b]
+
+    g, hit = lookup(table.groups, pk)
+    if mask is not None:
+        hit = hit & mask
+    glen = jnp.where(hit, table.groups.group_len[g], 0)
+
+    if unique:
+        cmps = jnp.where(hit, table.group_min_pos[g] + 1, blen)
+        match_count = hit.astype(I32)
+    else:
+        cmps = blen
+        match_count = glen
+    if mask is not None:
+        cmps = jnp.where(mask, cmps, 0)
+
+    return ChainProbeResult(
+        g=g,
+        hit=hit,
+        match_count=match_count,
+        num_matches=jnp.sum(match_count.astype(jnp.int64)),
+        num_cmps=jnp.sum(cmps.astype(jnp.int64)),
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size", "unique"))
+def materialize_chaining_join(
+    table: ChainingTable,
+    probe: ChainProbeResult,
+    out_size: int,
+    unique: bool = False,
+):
+    """Expand probe matches into (probe_row, build_row) id pairs.
+
+    The reference pushes each concatenated tuple to its consumer
+    (``algebra.hh:650-652``); here all output rows are written in one shot into
+    a static buffer of ``out_size`` slots (pad rows flagged invalid).
+
+    Returns ``(probe_row i32[out_size], build_row i32[out_size],
+    valid bool[out_size], total i64[])``.
+    """
+    if unique:
+        # At most one match per probe: compact by prefix sum, no expansion.
+        p = jnp.arange(probe.g.shape[0], dtype=I32)
+        cnt = probe.match_count
+        off = (jnp.cumsum(cnt) - cnt).astype(I32)
+        total = jnp.sum(cnt.astype(jnp.int64))
+        brow = table.group_chain_first[probe.g]
+        idx = jnp.where(probe.hit, off, out_size)  # dropped rows scatter off-end
+        probe_row = jnp.full(out_size, -1, I32).at[idx].set(p, mode="drop")
+        build_row = jnp.full(out_size, -1, I32).at[idx].set(brow, mode="drop")
+        valid = jnp.arange(out_size, dtype=I32) < total
+        return probe_row, build_row, valid, total
+
+    p, within, valid, total = expand(probe.match_count, out_size)
+    g = probe.g[p]
+    build_row = table.groups.group_rows[table.groups.group_start[g] + within]
+    probe_row = jnp.where(valid, p, -1)
+    build_row = jnp.where(valid, build_row, -1)
+    return probe_row, build_row, valid, total.astype(jnp.int64)

@@ -1,0 +1,138 @@
+"""Scalar integer hash functions, vectorized for TPU (jax.numpy) with numpy mirrors.
+
+TPU-native re-implementation of the reference hash library (see
+``/root/reference/util/hasht.hh:17-264``).  The reference evaluates these hashes
+one tuple at a time inside the probe/build loops; here every function maps a whole
+*column* (a ``uint32``/``uint64`` array) to a hash column in one vector op so XLA
+can fuse it into the surrounding gather/compare pipeline.
+
+``murmur32`` is the one hash actually used by the experiment drivers
+(``main_experiment1.cc:231``, ``main_experiment4.cc:263``) and therefore the one
+that must match the reference *bit-exactly*: hash-table bucket assignment
+(``hash % num_buckets``, ``ht_chaining.hh:139-140``) and the multi-chip partition
+routing both derive from it.  All arithmetic is explicit uint32/uint64 with
+wraparound multiplication, mirroring C semantics.
+
+Each function comes in two flavors:
+  * ``murmur32(x)``      - jax.numpy, traced/jitted, runs on TPU
+  * ``murmur32_np(x)``   - numpy, host-side mirror for data generation and oracles
+
+Both flavors are tested to agree with each other and with the reference
+finalizer constants.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "murmur32",
+    "murmur32_np",
+    "murmur64",
+    "murmur64_np",
+    "boncz32",
+    "boncz32_np",
+    "boncz64",
+    "fibhash32_np",
+    "larson_np",
+    "multiplicative32",
+]
+
+
+# -- murmur finalizers (reference: util/hasht.hh:49-72) -----------------------
+
+_M32_C1 = 0x85EBCA6B
+_M32_C2 = 0xC2B2AE35
+_M64_C1 = 0xFF51AFD7ED558CCD
+_M64_C2 = 0xC4CEB9FE1A95EC63
+
+
+def murmur32(x):
+    """Murmur3 32-bit finalizer, elementwise over a uint32 array (TPU path)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(_M32_C1)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(_M32_C2)
+    x = x ^ (x >> 16)
+    return x
+
+
+def murmur32_np(x):
+    """Murmur3 32-bit finalizer, numpy mirror (host path)."""
+    x = np.asarray(x, np.uint32)
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint32(16))
+        x = x * np.uint32(_M32_C1)
+        x = x ^ (x >> np.uint32(13))
+        x = x * np.uint32(_M32_C2)
+        x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def murmur64(x):
+    """Murmur3 64-bit finalizer (needs jax x64 enabled; TPU emulates u64)."""
+    x = jnp.asarray(x, jnp.uint64)
+    x = x ^ (x >> 33)
+    x = x * jnp.uint64(_M64_C1)
+    x = x ^ (x >> 33)
+    x = x * jnp.uint64(_M64_C2)
+    x = x ^ (x >> 33)
+    return x
+
+
+def murmur64_np(x):
+    x = np.asarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(33))
+        x = x * np.uint64(_M64_C1)
+        x = x ^ (x >> np.uint64(33))
+        x = x * np.uint64(_M64_C2)
+        x = x ^ (x >> np.uint64(33))
+    return x
+
+
+# -- boncz hash (reference: util/hasht.hh:100-113) ----------------------------
+
+def boncz32(x):
+    x = jnp.asarray(x, jnp.uint32)
+    return (x >> 21) ^ (x >> 13) ^ (x >> 7) ^ x
+
+
+def boncz32_np(x):
+    x = np.asarray(x, np.uint32)
+    return (x >> np.uint32(21)) ^ (x >> np.uint32(13)) ^ (x >> np.uint32(7)) ^ x
+
+
+def boncz64(x):
+    x = jnp.asarray(x, jnp.uint64)
+    return (x >> 7) ^ (x >> 13) ^ (x >> 17) ^ (x >> 23) ^ (x >> 43)
+
+
+# -- fibonacci hash (reference: util/hasht.hh:19-47) --------------------------
+
+def fibhash32_np(x, n):
+    """32-bit Fibonacci hash into [0, n).  Double-precision host mirror."""
+    x = np.asarray(x, np.uint32).astype(np.float64)
+    b = 2654435769.0
+    a = b / float(1 << 32)
+    z = a * x
+    return np.floor(n * (z - np.floor(z))).astype(np.uint32)
+
+
+# -- larson string hash (reference: util/hasht.hh:75-86) ----------------------
+
+def larson_np(s: bytes, salt: int = 0) -> int:
+    h = np.uint32(salt)
+    with np.errstate(over="ignore"):
+        for ch in s:
+            h = h * np.uint32(101) + np.uint32(ch)
+    return int(h)
+
+
+# -- multiplicative hashing (reference: util/hasht.hh:89-98) ------------------
+
+def multiplicative32(x, a: int, b: int):
+    x = jnp.asarray(x, jnp.uint32)
+    return jnp.uint32(a) * x + jnp.uint32(b)

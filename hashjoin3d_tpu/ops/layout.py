@@ -1,0 +1,167 @@
+"""Shared CSR layout builders: the TPU-native replacement for linked-list hash tables.
+
+The reference implements two pointer-chasing hash tables (``ht_chaining.hh:38-158``,
+``ht_nested.hh:71-251``) built one tuple at a time from a ``Reservoir`` arena.
+On TPU, random scatter and pointer chasing are the enemy; instead we express both
+tables as *dense index arrays* (CSR) constructed with sorts, segment boundaries
+and prefix sums -- all ops XLA tiles well.  Stable addresses come for free because
+everything is an index into a dense array (replacing ``util/reservoir.hh:11-233``).
+
+Semantics preserved exactly (so the reference's measurement counters can be
+reproduced bit-for-bit):
+
+* bucket of a key  = ``murmur32(key) % num_buckets``   (``ht_chaining.hh:139-140``)
+* chaining chain order per bucket = [first-inserted row, then remaining rows in
+  LIFO / reverse insertion order]  (head-insert after the directory entry,
+  ``ht_chaining.hh::insert``)
+* nested main-chain order per bucket = distinct keys by first-occurrence order
+  (new MainNodes append at the tail, ``ht_nested.hh:286-311``)
+* nested sub-chain / unnest order per key = [first-inserted row, then remaining
+  duplicates in LIFO order]  (``ht_nested.hh:398-412``, ``algebra.hh:510-541``)
+
+All shapes are static: arrays are sized by row count ``n`` (the maximum possible
+number of distinct keys) and padded; ``n_keys`` is a traced scalar.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+#: Padding sentinel for the sorted-unique-key array.  Padded entries sort last;
+#: a probe key can only "hit" a padded slot if it equals a real key with the
+#: same value that sorts immediately before the padding, in which case
+#: ``searchsorted(..., side='left')`` returns the real slot first.
+UKEY_PAD = jnp.uint32(0xFFFFFFFF)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GroupIndex:
+    """Distinct-key directory + CSR group storage over the build rows.
+
+    This single structure is the vectorized analogue of the nested hash table's
+    MainNode/SubNode layout (``ht_nested.hh:111-183``): one logical entry per
+    distinct key, with the duplicate rows of that key stored contiguously.
+    The chaining table reuses it as its match index.
+
+    All arrays have length ``n`` (row count); entries with index >= n_keys are
+    padding.
+    """
+
+    ukey: jax.Array        # u32[n]  distinct keys, ascending, padded with UKEY_PAD
+    group_start: jax.Array  # i32[n]  offset of each key's rows in group_rows
+    group_len: jax.Array    # i32[n]  number of rows per key (0 for padding)
+    group_rows: jax.Array   # i32[n]  build row ids, per key: [first, rest reversed]
+    first_row: jax.Array    # i32[n]  first-inserted row id per key (MainNode._data)
+    gid_by_row: jax.Array   # i32[n]  group id of each build row
+    n_keys: jax.Array       # i32[]   number of distinct keys (traced)
+
+    @property
+    def n_rows(self) -> int:
+        return self.group_rows.shape[0]
+
+
+def key_group_index(keys: jax.Array) -> GroupIndex:
+    """Group build rows by exact key value; duplicates ordered [first, rest LIFO].
+
+    Vectorized equivalent of repeatedly calling ``HtNested1::insert``
+    (``ht_nested.hh:286-311``): a sort by (key, row) + run-length boundaries
+    replaces the per-tuple directory walk, and a bijective scatter produces the
+    sub-chain emission order without building linked lists.
+    """
+    keys = keys.astype(U32)
+    n = keys.shape[0]
+    row = jnp.arange(n, dtype=I32)
+
+    # Stable sort by key keeps rows ascending within each duplicate run.
+    skey, srow = lax.sort((keys, row), num_keys=1, is_stable=True)
+
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    )
+    gid = jnp.cumsum(is_first.astype(I32)) - 1          # group id per sorted row
+    n_keys = gid[-1] + 1
+
+    # Offsets of each group's run inside the sorted order; padded with n.
+    group_start = jnp.nonzero(is_first, size=n, fill_value=n)[0].astype(I32)
+    next_start = jnp.concatenate([group_start[1:], jnp.array([n], I32)])
+    group_len = jnp.where(group_start < n, next_start - group_start, 0).astype(I32)
+
+    valid = group_start < n
+    ukey = jnp.where(valid, skey[jnp.minimum(group_start, n - 1)], UKEY_PAD)
+    first_row = jnp.where(valid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
+
+    # Emission order per group: sorted position p=0 stays first, the rest are
+    # reversed (head-insert into the sub-chain, ht_nested.hh:398-412).
+    p = jnp.arange(n, dtype=I32) - group_start[gid]
+    glen = group_len[gid]
+    q = jnp.where(p == 0, 0, glen - p)
+    group_rows = jnp.zeros(n, I32).at[group_start[gid] + q].set(srow)
+
+    gid_by_row = jnp.zeros(n, I32).at[srow].set(gid)
+
+    return GroupIndex(
+        ukey=ukey,
+        group_start=group_start,
+        group_len=group_len,
+        group_rows=group_rows,
+        first_row=first_row,
+        gid_by_row=gid_by_row,
+        n_keys=n_keys.astype(I32),
+    )
+
+
+def lookup(groups: "GroupIndex", probe_keys: jax.Array):
+    """Find each probe key's group id in a GroupIndex.
+
+    Returns ``(g, hit)``: candidate group id (i32) and a boolean hit mask.
+    Binary search over the sorted distinct keys -- O(log n_keys) vectorized
+    gathers, independent of duplicate counts (the 3D hash join property:
+    probe cost scales with #distinct keys, not #rows, ``ht_nested.hh:354-382``).
+
+    A hit additionally requires a non-empty group: padded directory slots carry
+    ``UKEY_PAD == 0xFFFFFFFF``, which a probe key may legitimately equal, but
+    padding always has ``group_len == 0`` (and a real key of that value sorts
+    before its padding, so ``side='left'`` finds the real slot first).
+    """
+    pk = probe_keys.astype(U32)
+    g = jnp.searchsorted(groups.ukey, pk, side="left").astype(I32)
+    g = jnp.minimum(g, groups.ukey.shape[0] - 1)
+    hit = (groups.ukey[g] == pk) & (groups.group_len[g] > 0)
+    return g, hit
+
+
+def bucket_csr(bucket: jax.Array, num_buckets: int):
+    """Histogram + exclusive prefix sum: CSR over hash-directory buckets."""
+    blen = jnp.bincount(bucket, length=num_buckets).astype(I32)
+    bstart = (jnp.cumsum(blen) - blen).astype(I32)
+    return bstart, blen
+
+
+def expand(counts: jax.Array, out_size: int):
+    """Variable-count segment expansion to a static-size output buffer.
+
+    Maps output slot j to (segment p, position-within-segment, valid).  This is
+    the vectorized unnest (``algebra.hh:510-541``): instead of a per-tuple
+    while-loop over SubNodes, a prefix sum + binary search materializes every
+    output row in parallel.
+
+    Returns ``(p, within, valid, total)``.
+    """
+    counts = counts.astype(I32)
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    j = jnp.arange(out_size, dtype=I32)
+    p = jnp.searchsorted(cum, j, side="right").astype(I32)
+    p = jnp.minimum(p, counts.shape[0] - 1)
+    start = cum[p] - counts[p]
+    within = j - start
+    valid = j < total
+    return p, within, valid, total

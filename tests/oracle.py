@@ -1,0 +1,131 @@
+"""Pure-Python oracle reproducing the reference hash tables' exact semantics.
+
+This models the *behavior* of ``ht_chaining.hh`` / ``ht_nested.hh`` /
+``algebra.hh`` with plain lists (insertion simulation), giving ground truth for
+chain orders, comparison counts and result multisets on arbitrary inputs.
+Slow (per-tuple), used only on small/medium test inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def murmur32_py(x: int) -> int:
+    x &= 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x
+
+
+class ChainingOracle:
+    """Simulates HtChaining1 insertion + AlgHashJoinProbe semantics."""
+
+    def __init__(self, keys, num_buckets: int):
+        self.nb = num_buckets
+        # bucket -> list of (row, key) in chain order
+        self.buckets = {}
+        for row, k in enumerate(int(v) for v in keys):
+            b = murmur32_py(k) % num_buckets
+            chain = self.buckets.setdefault(b, [])
+            if not chain:
+                chain.append((row, k))       # directory node
+            else:
+                chain.insert(1, (row, k))    # head-insert after dir entry
+        self.keys = [int(v) for v in keys]
+
+    def chain(self, b):
+        return self.buckets.get(b, [])
+
+    def probe(self, probe_keys, unique=False):
+        """Returns (pairs, num_matches, num_cmps). pairs = (probe_row, build_row)."""
+        pairs = []
+        matches = 0
+        cmps = 0
+        for p, k in enumerate(int(v) for v in probe_keys):
+            b = murmur32_py(k) % self.nb
+            chain = self.chain(b)
+            if not chain:
+                continue
+            for row, bk in chain:
+                cmps += 1
+                if bk == k:
+                    pairs.append((p, row))
+                    matches += 1
+                    if unique:
+                        break
+        return pairs, matches, cmps
+
+    def stats(self):
+        lens = [len(self.chain(b)) for b in range(self.nb)]
+        nonempty = [l for l in lens if l > 0]
+        distinct_hashes = len({murmur32_py(k) for k in self.keys})
+        return dict(
+            num_buckets=self.nb,
+            num_empty=sum(1 for l in lens if l == 0),
+            num_entries=len(self.keys),
+            num_distinct=distinct_hashes,
+            cc0=lens,
+            cc1=nonempty,
+        )
+
+
+class NestedOracle:
+    """Simulates HtNested1 insertion + AlgNestJoinProbe/AlgUnnestHt semantics."""
+
+    def __init__(self, keys, num_buckets: int):
+        self.nb = num_buckets
+        # bucket -> list of mains; main = dict(key, first_row, subrows list)
+        self.buckets = {}
+        for row, k in enumerate(int(v) for v in keys):
+            b = murmur32_py(k) % num_buckets
+            mains = self.buckets.setdefault(b, [])
+            for m in mains:
+                if m["key"] == k:
+                    m["subrows"].insert(0, row)  # head-insert into subchain
+                    break
+            else:
+                mains.append(dict(key=k, first_row=row, subrows=[]))
+        self.keys = [int(v) for v in keys]
+
+    def probe(self, probe_keys):
+        """Returns (nested, num_matches, num_cmps); nested = (probe_row, main)."""
+        nested = []
+        matches = 0
+        cmps = 0
+        for p, k in enumerate(int(v) for v in probe_keys):
+            b = murmur32_py(k) % self.nb
+            mains = self.buckets.get(b, [])
+            for m in mains:
+                cmps += 1
+                if m["key"] == k:
+                    nested.append((p, m))
+                    matches += 1
+                    break
+        return nested, matches, cmps
+
+    @staticmethod
+    def unnest(nested):
+        """Expansion order: MainNode row first, then subchain (LIFO)."""
+        out = []
+        for p, m in nested:
+            out.append((p, m["first_row"]))
+            for r in m["subrows"]:
+                out.append((p, r))
+        return out
+
+    def stats(self):
+        lens = [len(self.buckets.get(b, [])) for b in range(self.nb)]
+        nonempty = [l for l in lens if l > 0]
+        n_distinct = sum(lens)
+        return dict(
+            num_buckets=self.nb,
+            num_empty=sum(1 for l in lens if l == 0),
+            num_entries=len(self.keys),
+            num_distinct=n_distinct,
+            cc0=lens,
+            cc1=nonempty,
+        )

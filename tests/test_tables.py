@@ -1,0 +1,163 @@
+"""Core table semantics vs the pure-Python reference oracle.
+
+Property tests (SURVEY.md section 4): random workloads from several key
+distributions, checked for exact counter equality and result-multiset equality
+against the insertion-simulating oracle in ``oracle.py``.
+"""
+
+import numpy as np
+import pytest
+
+from hashjoin3d_tpu.ops import (
+    build_chaining,
+    build_nested,
+    materialize_chaining_join,
+    probe_chaining,
+    probe_nested,
+    unnest,
+)
+from hashjoin3d_tpu.ops.hashing import murmur32, murmur32_np
+
+from oracle import ChainingOracle, NestedOracle, murmur32_py
+
+
+def workloads():
+    rng = np.random.default_rng(42)
+    cases = []
+    # (build_keys, probe_keys, num_buckets)
+    cases.append((np.array([1, 1, 1, 2, 2, 3], np.uint32),
+                  np.array([1, 2, 3, 4], np.uint32), 5))
+    cases.append((rng.integers(0, 50, 200, dtype=np.uint32),
+                  rng.integers(0, 80, 300, dtype=np.uint32), 16))
+    cases.append((rng.integers(0, 1 << 31, 500, dtype=np.uint32),
+                  rng.integers(0, 1 << 31, 500, dtype=np.uint32), 128))
+    # heavy skew: zipf-ish duplicates
+    z = np.minimum(rng.zipf(1.3, 800), 60).astype(np.uint32)
+    cases.append((z, rng.integers(0, 70, 400, dtype=np.uint32), 33))
+    # all-same key, single bucket
+    cases.append((np.full(64, 7, np.uint32),
+                  np.array([7, 8], np.uint32), 1))
+    # unique keys (permutation), like experiment 1's R.k
+    perm = rng.permutation(256).astype(np.uint32)
+    cases.append((perm, rng.integers(0, 300, 512, dtype=np.uint32), 64))
+    return cases
+
+
+def test_murmur32_matches_scalar_reference():
+    xs = np.array([0, 1, 2, 12345, 0xFFFFFFFF, 0xDEADBEEF], np.uint32)
+    expect = np.array([murmur32_py(int(x)) for x in xs], np.uint32)
+    np.testing.assert_array_equal(murmur32_np(xs), expect)
+    np.testing.assert_array_equal(np.asarray(murmur32(xs)), expect)
+
+
+@pytest.mark.parametrize("case", range(len(workloads())))
+def test_chaining_vs_oracle(case):
+    bk, pk, nb = workloads()[case]
+    oracle = ChainingOracle(bk, nb)
+    tbl = build_chaining(bk, nb)
+
+    # bucket occupancy
+    blen = np.asarray(tbl.bucket_len)
+    for b in range(nb):
+        assert blen[b] == len(oracle.chain(b))
+
+    # chain positions per row
+    pos = np.asarray(tbl.pos_by_row)
+    for b in range(nb):
+        for want_pos, (row, _k) in enumerate(oracle.chain(b)):
+            assert pos[row] == want_pos, (b, row)
+
+    for unique in (False, True):
+        opairs, omatches, ocmps = oracle.probe(pk, unique=unique)
+        pr = probe_chaining(tbl, pk, unique=unique)
+        assert int(pr.num_matches) == omatches
+        assert int(pr.num_cmps) == ocmps
+
+        out_size = max(len(opairs) + 3, 8)
+        prow, brow, valid, total = materialize_chaining_join(
+            tbl, pr, out_size, unique=unique
+        )
+        got = sorted(
+            (int(p), int(r))
+            for p, r, v in zip(np.asarray(prow), np.asarray(brow), np.asarray(valid))
+            if v
+        )
+        assert int(total) == len(opairs)
+        assert got == sorted(opairs)
+
+
+@pytest.mark.parametrize("case", range(len(workloads())))
+def test_nested_vs_oracle(case):
+    bk, pk, nb = workloads()[case]
+    oracle = NestedOracle(bk, nb)
+    tbl = build_nested(bk, nb)
+
+    # main-chain lengths per bucket
+    bml = np.asarray(tbl.bucket_main_len)
+    for b in range(nb):
+        assert bml[b] == len(oracle.buckets.get(b, []))
+
+    # main-chain positions: distinct key -> (bucket, position)
+    ukey = np.asarray(tbl.groups.ukey)
+    mpos = np.asarray(tbl.main_pos_by_group)
+    nkeys = int(tbl.groups.n_keys)
+    got_pos = {int(ukey[g]): int(mpos[g]) for g in range(nkeys)}
+    for b, mains in oracle.buckets.items():
+        for want_pos, m in enumerate(mains):
+            assert got_pos[m["key"]] == want_pos
+
+    onested, omatches, ocmps = oracle.probe(pk)
+    nb_batch = probe_nested(tbl, pk)
+    assert int(nb_batch.num_matches) == omatches
+    assert int(nb_batch.num_cmps) == ocmps
+
+    oout = NestedOracle.unnest(onested)
+    out_size = max(len(oout) + 3, 8)
+    prow, brow, valid, total = unnest(tbl, nb_batch, out_size)
+    assert int(total) == len(oout)
+    got = sorted(
+        (int(p), int(r))
+        for p, r, v in zip(np.asarray(prow), np.asarray(brow), np.asarray(valid))
+        if v
+    )
+    assert got == sorted(oout)
+
+    # exact unnest ORDER per group: [first inserted, rest LIFO] -- compare the
+    # sequence of build rows for each probe row, not just the multiset.
+    got_by_probe = {}
+    for p, r, v in zip(np.asarray(prow), np.asarray(brow), np.asarray(valid)):
+        if v:
+            got_by_probe.setdefault(int(p), []).append(int(r))
+    want_by_probe = {}
+    for p, r in oout:
+        want_by_probe.setdefault(p, []).append(r)
+    assert got_by_probe == want_by_probe
+
+
+def test_probe_mask_semantics():
+    bk = np.array([1, 2, 3, 3], np.uint32)
+    pk = np.array([1, 3, 9, 3], np.uint32)
+    mask = np.array([True, False, True, True])
+    tbl = build_nested(bk, 4)
+    full = probe_nested(tbl, pk)
+    masked = probe_nested(tbl, pk, mask=mask)
+    # row 1 (key 3, 2 dups) is masked out: one fewer match
+    assert int(masked.num_matches) == int(full.num_matches) - 1
+    assert not bool(np.asarray(masked.hit)[1])
+
+
+def test_probe_key_equal_to_pad_sentinel():
+    """A probe key of 0xFFFFFFFF must not false-hit the UKEY_PAD padding."""
+    bk = np.array([1, 2, 3], np.uint32)
+    pk = np.array([0xFFFFFFFF], np.uint32)
+    nt = build_nested(bk, 4)
+    assert int(probe_nested(nt, pk).num_matches) == 0
+    ct = build_chaining(bk, 4)
+    assert int(probe_chaining(ct, pk, unique=True).num_matches) == 0
+    # and a real key of that value still hits
+    bk2 = np.array([1, 0xFFFFFFFF, 0xFFFFFFFF], np.uint32)
+    nt2 = build_nested(bk2, 4)
+    res = probe_nested(nt2, pk)
+    assert int(res.num_matches) == 1
+    _, brow, valid, total = unnest(nt2, res, 4)
+    assert int(total) == 2
