@@ -1,0 +1,316 @@
+"""Experiment 1: single key/FK hash join R |><| S, all eight reference plans.
+
+TPU re-implementation of the reference's primary benchmark driver
+(``main_experiment1.cc``): relations R (unique key, |R| = 2^log2R) and
+S (foreign key S.a over [0, |R|/2^t), uniform or zipf(1.0)), joined under
+eight plans (``main_experiment1.cc:96-113``):
+
+  scr/scs  scan-only calibration
+  Csr      chaining HT, build R probe S, early-exit (IsBuildKeyUnique)
+  CsrUU    same without early exit
+  Crs      chaining HT, build S probe R (duplicate chains)
+  Nsr      3D HT, build R probe S, + unnest
+  Nrs      3D HT, build S probe R, + unnest
+  NrsNU    3D HT, build S probe R, NO unnest (nested tuples straight to top)
+
+Where the reference pushes tuples one at a time through operator strands, each
+plan here is two jitted device pipelines (build strand, probe strand) timed
+with ``block_until_ready`` under the same ``repeat_mintime`` protocol
+(>= 300 ms cumulative, >= 8 reps, doubling).  The probe strand *materializes*
+its result row-id columns on device (the reference's Top only counts --
+materialization is strictly more work, keeping the comparison honest) and
+produces all plan counters of the reference CSV, bit-equal:
+c_htProbe, c_htProbeCmp, c_unnest, c_top (``main_experiment1.cc:1288-1333``).
+
+The measurement CSV is column-compatible with the reference, including the
+reference's quirk that scr/scs rows omit the ``reps`` field (compare
+``main_experiment1.cc:546-573`` against the header at ``:1288-1333``).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (
+    build_chaining,
+    build_nested,
+    materialize_chaining_join,
+    probe_chaining,
+    probe_nested,
+    unnest,
+)
+from ..ops.stats import chaining_statistics, nested_statistics
+from ..utils import exp1_data
+from ..utils.csv_writer import CSVWriter
+from ..utils.measure import Timers, repeat_mintime
+
+PLAN_NAMES = ["scr", "scs", "Csr", "CsrUU", "Crs", "Nsr", "Nrs", "NrsNU"]
+
+_CSV_HEADER = [
+    "mintime", "minreps", "log2CardR", "log2CardS", "skew", "t", "fkMax",
+    "numDvSa", "b",
+    "plan", "ht_impl", "build", "probe", "ht_buckets", "ht_fracEmpty",
+    "cc0_avg", "cc0_min", "cc0_max", "cc1_avg", "cc1_min", "cc1_max",
+    "reps", "t_total", "t_buildStr", "t_probeStr", "t_top",
+    "c_scanBuild", "c_selBuild", "c_htBuild", "c_scanProbe", "c_selProbe",
+    "c_htProbe", "c_htProbeCmp", "c_unnest", "c_top",
+]
+
+
+# --- jitted plan strands -----------------------------------------------------
+
+@jax.jit
+def _scan_strand(col):
+    """Scan -> Top: stream the column through the VPU and count it."""
+    return jnp.max(col), jnp.int64(col.shape[0])
+
+
+@partial(jax.jit, static_argnames=("out_size", "unique"))
+def _chaining_probe_strand(table, probe_keys, out_size, unique):
+    pr = probe_chaining(table, probe_keys, unique=unique)
+    prow, brow, valid, total = materialize_chaining_join(
+        table, pr, out_size, unique=unique)
+    return dict(probe_row=prow, build_row=brow, total=total,
+                c_htProbe=pr.num_matches, c_htProbeCmp=pr.num_cmps)
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def _nested_probe_strand(table, probe_keys, out_size):
+    nb = probe_nested(table, probe_keys)
+    prow, brow, valid, total = unnest(table, nb, out_size)
+    return dict(probe_row=prow, build_row=brow, total=total,
+                c_htProbe=nb.num_matches, c_htProbeCmp=nb.num_cmps,
+                c_unnest=total)
+
+
+@jax.jit
+def _nested_probe_strand_nounnest(table, probe_keys):
+    nb = probe_nested(table, probe_keys)
+    # Top receives the nested tuples themselves: materialize the nested column
+    # triple (probe rows pair with group ids under the hit mask).
+    return dict(nested_g=nb.g, nested_hit=nb.hit,
+                c_htProbe=nb.num_matches, c_htProbeCmp=nb.num_cmps,
+                c_top=nb.num_matches)
+
+
+class Experiment1:
+    """One parameter combination of experiment 1 (``main_experiment1.cc:94-240``)."""
+
+    def __init__(self, log2_card_r: int, log2_card_s: int, skew: bool, t: int,
+                 b: int = 1, measure_file=None, plans=("all",),
+                 min_runtime_s: float = 0.3, min_repeat: int = 8,
+                 trace: bool = True):
+        assert t <= log2_card_r
+        self.log2_card_r = log2_card_r
+        self.log2_card_s = log2_card_s
+        self.skew = skew
+        self.t = t
+        self.b = b
+        self.min_runtime_s = min_runtime_s
+        self.min_repeat = min_repeat
+        self.trace = trace
+        self.plans = self._resolve_plans(plans)
+        self.csv = CSVWriter(measure_file)
+        self.timers = Timers()
+        self.num_dv_sa = None
+        self._rk = self._sa = None
+
+    # -- setup ---------------------------------------------------------------
+
+    @staticmethod
+    def _resolve_plans(plans):
+        out = set()
+        for p in plans:
+            for item in str(p).split(","):
+                if not item:
+                    continue
+                if item.lower() == "all":
+                    out.update(PLAN_NAMES)
+                elif item.lower() == "none":
+                    pass
+                elif item in PLAN_NAMES:
+                    out.add(item)
+                else:
+                    raise ValueError(f"unknown plan {item!r}")
+        return out
+
+    @property
+    def card_r(self):
+        return 1 << self.log2_card_r
+
+    @property
+    def card_s(self):
+        return 1 << self.log2_card_s
+
+    @property
+    def fk_max(self):
+        return 1 << (self.log2_card_r - self.t)
+
+    def init(self):
+        """Generate inputs (bit-exact vs the reference) and stage on device."""
+        self.timers.start("init")
+        rk, sa, ndv = exp1_data(self.log2_card_r, self.log2_card_s,
+                                self.skew, self.t)
+        self.num_dv_sa = ndv
+        self._rk = jax.device_put(rk)
+        self._sa = jax.device_put(sa)
+        jax.block_until_ready((self._rk, self._sa))
+        self.timers.stop("init")
+
+    def print_relations(self, out=None):
+        out = out or sys.stdout
+        rk = np.asarray(self._rk)
+        sa = np.asarray(self._sa)
+        out.write("-- R --\n")
+        for k in rk:
+            out.write(f"{k}|0|0\n")
+        out.write("-- S --\n")
+        for i, a in enumerate(sa):
+            out.write(f"{i}|{a}|0\n")
+
+    def print_timers(self):
+        self.timers.print()
+
+    # -- measurement core ------------------------------------------------------
+
+    def _run_join_plan(self, name, build_keys, probe_keys, num_buckets,
+                       build_fn, probe_fn, impl, build_rel, probe_rel,
+                       has_unnest):
+        """Shared shape of all run*() functions (main_experiment1.cc:623-744):
+        wire plan, repeat_mintime over (build strand; probe strand), HT stats,
+        one CSV row."""
+        self.timers.start(f"run{name}")
+        state = {}
+        durs = dict(build=0.0, probe=0.0, total=0.0, last_probe=0.0)
+
+        import time
+
+        def once():
+            t0 = time.perf_counter()
+            table = build_fn(build_keys)
+            jax.block_until_ready(table)
+            t1 = time.perf_counter()
+            out = probe_fn(table, probe_keys)
+            jax.block_until_ready(out)
+            t2 = time.perf_counter()
+            durs["build"] += t1 - t0
+            durs["probe"] += t2 - t1
+            durs["total"] += t2 - t0
+            durs["last_probe"] = t2 - t1
+            state["table"] = table
+            state["out"] = out
+
+        _, reps = repeat_mintime(self.min_runtime_s, once,
+                                 min_repeat=self.min_repeat)
+
+        table, out = state["table"], state["out"]
+        stats = (nested_statistics if impl == "nested"
+                 else chaining_statistics)(table)
+
+        if self.trace:
+            print(f"Plan {name}")
+            print(f"  reps {reps}, build {durs['build']/reps*1e3:.3f} ms, "
+                  f"probe {durs['probe']/reps*1e3:.3f} ms")
+
+        c_top = int(out.get("c_top", out.get("total", 0)))
+        row = [
+            name, impl, build_rel, probe_rel,
+            *stats.to_csv_fields(),
+            reps,
+            int(durs["total"] / reps * 1e9),
+            int(durs["build"] / reps * 1e9),
+            int(durs["probe"] / reps * 1e9),
+            int(durs["last_probe"] * 1e9),  # ~ Top inclusive runtime of last run
+            len(build_keys), "NA", len(build_keys),
+            len(probe_keys), "NA",
+            int(out["c_htProbe"]), int(out["c_htProbeCmp"]),
+            int(out["c_unnest"]) if has_unnest else "NA",
+            c_top,
+        ]
+        self._write_params()
+        self.csv.write_fields(*row).newline()
+        self.timers.stop(f"run{name}")
+        return out
+
+    def _run_scan_plan(self, name, col):
+        """scr / scs: a single un-repeated scan->top run
+        (main_experiment1.cc:532-621).  NOTE: reproduces the reference quirk
+        of omitting the ``reps`` column in these rows."""
+        import time
+        self.timers.start(f"run{name}")
+        t0 = time.perf_counter()
+        mx, cnt = _scan_strand(col)
+        jax.block_until_ready((mx, cnt))
+        dt = time.perf_counter() - t0
+        self._write_params()
+        self.csv.write_fields(
+            name, "NA", "NA", "NA", "NA", "NA", "NA", "NA", "NA", "NA",
+            "NA", "NA",
+            int(dt * 1e9),        # t_total
+            "NA", "NA",
+            int(dt * 1e9),        # t_top
+            int(cnt),             # scan count
+            "NA", "NA", "NA", "NA", "NA", "NA", "NA",
+            int(cnt),             # c_top
+        ).newline()
+        self.timers.stop(f"run{name}")
+
+    def _write_params(self):
+        self.csv.write_fields(
+            f"{int(self.min_runtime_s * 1e3)}ms", self.min_repeat,
+            self.log2_card_r, self.log2_card_s, self.skew, self.t,
+            self.fk_max, self.num_dv_sa, self.b)
+
+    # -- plans ---------------------------------------------------------------
+
+    def run(self):
+        self.timers.start("run")
+        self.csv.write_fields(*_CSV_HEADER).newline()
+        if "scr" in self.plans:
+            self._run_scan_plan("scr", self._rk)
+        if "scs" in self.plans:
+            self._run_scan_plan("scs", self._sa)
+        nb_r = max(self.card_r // self.b, 1)      # build on key side: #dv = |R|
+        nb_s = max(self.num_dv_sa // self.b, 1)   # build on FK side: #dv(S.a)
+        if "Csr" in self.plans:
+            self._run_join_plan(
+                "Csr", self._rk, self._sa, nb_r,
+                lambda k: build_chaining(k, nb_r),
+                lambda t, p: _chaining_probe_strand(t, p, self.card_s, True),
+                "chaining", "R", "S", has_unnest=False)
+        if "CsrUU" in self.plans:
+            self._run_join_plan(
+                "CsrUU", self._rk, self._sa, nb_r,
+                lambda k: build_chaining(k, nb_r),
+                lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
+                "chaining", "R", "S", has_unnest=False)
+        if "Crs" in self.plans:
+            self._run_join_plan(
+                "Crs", self._sa, self._rk, nb_s,
+                lambda k: build_chaining(k, nb_s),
+                lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
+                "chaining", "S", "R", has_unnest=False)
+        if "Nsr" in self.plans:
+            self._run_join_plan(
+                "Nsr", self._rk, self._sa, nb_r,
+                lambda k: build_nested(k, nb_r),
+                lambda t, p: _nested_probe_strand(t, p, self.card_s),
+                "nested", "R", "S", has_unnest=True)
+        if "Nrs" in self.plans:
+            self._run_join_plan(
+                "Nrs", self._sa, self._rk, nb_s,
+                lambda k: build_nested(k, nb_s),
+                lambda t, p: _nested_probe_strand(t, p, self.card_s),
+                "nested", "S", "R", has_unnest=True)
+        if "NrsNU" in self.plans:
+            self._run_join_plan(
+                "NrsNU", self._sa, self._rk, nb_s,
+                lambda k: build_nested(k, nb_s),
+                lambda t, p: _nested_probe_strand_nounnest(t, p),
+                "nested", "S", "R", has_unnest=False)
+        self.timers.stop("run")

@@ -1,0 +1,324 @@
+"""Experiment 4: two key/FK joins R |><| S |><| T with deferred unnesting.
+
+TPU re-implementation of the reference's second benchmark driver
+(``main_experiment4.cc``): an "inverted star" -- central key relation R, two FK
+relations S, T whose FK columns share an alpha-fraction of R's keys
+(multiplicity A) and reference a beta-fraction exclusively (multiplicity B)
+(``main_experiment4.cc:55-74``).  Rows of join(R,S) whose key has no T partner
+die at the second probe while still *nested* (one tuple per match group), so
+unnest work is proportional to the final -- not intermediate -- result.
+
+Plans (``main_experiment4.cc:158-164``):
+  Ndu   3D hash joins, both unnests deferred after both probes (:832-941)
+  Chj   chaining hash joins, full expansion between the joins (:943-1043)
+(The reference declares a third plan Nnu in its enum but never implements a
+run function for it, ``main_experiment4.cc:577-582``.)
+
+Pipelines are jitted device programs; build strands and the probe strand are
+timed separately with ``block_until_ready`` under ``repeat_mintime``; the CSV
+is column-compatible with the reference (``main_experiment4.cc:769-812``) and
+all c_* counters are bit-equal.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (
+    build_chaining,
+    build_nested,
+    materialize_chaining_join,
+    probe_chaining,
+    probe_nested,
+)
+from ..ops.layout import I32, expand
+from ..utils import exp4_data
+from ..utils.csv_writer import CSVWriter
+from ..utils.measure import Timers, repeat_mintime
+
+PLAN_NAMES = ["Ndu", "Chj"]
+
+_CSV_HEADER = [
+    "mintime", "minreps", "log2CardR", "a", "aM", "b", "bM",
+    "cardR", "cardS", "cardT",
+    "plan", "ht_impl", "reps",
+    "t_total", "t_build_S", "t_build_T", "t_probe_R",
+    "c_sc_R", "c_sc_S", "c_sc_T", "c_build_S", "c_build_T",
+    "c_probe_RS", "c_probe_RS_cmp", "c_probe_RT", "c_probe_RT_cmp",
+    "c_unnest_S", "c_unnest_T", "c_top",
+]
+
+
+@partial(jax.jit, static_argnames=("out1", "out2"))
+def _ndu_probe_strand(tbl_s, tbl_t, r_k, out1, out2):
+    """scan R -> NestProbe(S) -> NestProbe(T) -> Unnest(T) -> Unnest(S) -> Top.
+
+    The nested batch flows through the second probe un-expanded; both
+    expansions happen only for rows that survived both joins
+    (``main_experiment4.cc:832-941``).
+    """
+    rs = probe_nested(tbl_s, r_k)                       # [r, {s}]
+    rst = probe_nested(tbl_t, r_k, mask=rs.hit)         # [r, {s}, {t}]
+
+    # Unnest #1 unpacks T: one row per T duplicate of surviving nested tuples.
+    both = rst.hit                                       # implies rs.hit
+    t_counts = jnp.where(both, rst.group_len, 0)
+    p1, w1, v1, n_unnest1 = expand(t_counts, out1)
+    t_row = tbl_t.groups.group_rows[tbl_t.groups.group_start[rst.g[p1]] + w1]
+    gs1 = rs.g[p1]                                       # S group, still nested
+
+    # Unnest #2 unpacks S.
+    s_counts = jnp.where(v1, tbl_s.groups.group_len[gs1], 0)
+    p2, w2, v2, n_unnest2 = expand(s_counts, out2)
+    s_row = tbl_s.groups.group_rows[tbl_s.groups.group_start[gs1[p2]] + w2]
+    r_row = jnp.where(v2, p1[p2], -1)
+    t_out = jnp.where(v2, t_row[p2], -1)
+    s_out = jnp.where(v2, s_row, -1)
+
+    return dict(
+        r_row=r_row, s_row=s_out, t_row=t_out,
+        c_probe_RS=rs.num_matches, c_probe_RS_cmp=rs.num_cmps,
+        c_probe_RT=rst.num_matches, c_probe_RT_cmp=rst.num_cmps,
+        c_unnest_1=n_unnest1.astype(jnp.int64),
+        c_unnest_2=n_unnest2.astype(jnp.int64),
+        c_top=n_unnest2.astype(jnp.int64),
+    )
+
+
+@partial(jax.jit, static_argnames=("out1", "out2"))
+def _chj_probe_strand(tbl_s, tbl_t, r_k, out1, out2):
+    """scan R -> Probe(S) -> Probe(T) -> Top with immediate expansion
+    (``main_experiment4.cc:943-1043``): the RS pairs are fully materialized
+    before probing T, so the second probe runs once per *pair*."""
+    prs = probe_chaining(tbl_s, r_k)
+    r_row1, s_row1, v1, n_rs = materialize_chaining_join(tbl_s, prs, out1)
+
+    # Probe T once per materialized RS pair, hashing the pair's R key
+    # (HashfunRS, main_experiment4.cc:355-361).
+    pair_keys = r_k[jnp.maximum(r_row1, 0)]
+    prt = probe_chaining(tbl_t, pair_keys, mask=v1)
+    pr_row2, t_row2, v2, n_rst = materialize_chaining_join(tbl_t, prt, out2)
+
+    pr2 = jnp.maximum(pr_row2, 0)
+    r_row = jnp.where(v2, r_row1[pr2], -1)
+    s_row = jnp.where(v2, s_row1[pr2], -1)
+
+    return dict(
+        r_row=r_row, s_row=s_row, t_row=t_row2,
+        c_probe_RS=prs.num_matches, c_probe_RS_cmp=prs.num_cmps,
+        c_probe_RT=prt.num_matches, c_probe_RT_cmp=prt.num_cmps,
+        c_top=n_rst,
+    )
+
+
+class Experiment4:
+    """One parameter combination of experiment 4 (``main_experiment4.cc:156-291``)."""
+
+    def __init__(self, log2_card_r: int, alpha: int, mult_alpha: int,
+                 beta: int, mult_beta: int, measure_file=None, plans=("all",),
+                 min_runtime_s: float = 0.3, min_repeat: int = 8,
+                 trace: bool = True):
+        self.log2_card_r = log2_card_r
+        self.alpha, self.beta = alpha, beta
+        self.mult_alpha, self.mult_beta = mult_alpha, mult_beta
+        self.min_runtime_s = min_runtime_s
+        self.min_repeat = min_repeat
+        self.trace = trace
+        self.plans = self._resolve_plans(plans)
+        self.csv = CSVWriter(measure_file)
+        self.timers = Timers()
+        self._rk = self._sa = self._ta = None
+
+    @staticmethod
+    def _resolve_plans(plans):
+        out = set()
+        for p in plans:
+            for item in str(p).split(","):
+                if not item:
+                    continue
+                if item.lower() == "all":
+                    out.update(PLAN_NAMES)
+                elif item.lower() in ("none", "nnu"):
+                    pass  # Nnu: declared but unimplemented in the reference
+                elif item in PLAN_NAMES:
+                    out.add(item)
+                else:
+                    raise ValueError(f"unknown plan {item!r}")
+        return out
+
+    # -- derived cardinalities (main_experiment4.cc:208-227) -------------------
+
+    @property
+    def card_r(self):
+        return 1 << self.log2_card_r
+
+    @property
+    def num_fk_common(self):
+        return self.card_r >> self.alpha
+
+    @property
+    def num_fk_exclusive(self):
+        return self.card_r >> self.beta
+
+    @property
+    def card_fk_common(self):
+        return self.num_fk_common * self.mult_alpha
+
+    @property
+    def card_fk_exclusive(self):
+        return self.num_fk_exclusive * self.mult_beta
+
+    @property
+    def card_fk_relations(self):
+        return self.card_fk_common + self.card_fk_exclusive
+
+    card_s = card_t = card_fk_relations
+
+    def calc_join_card1(self):
+        """|join(R,S)| = |join(R,T)| = |S| (main_experiment4.cc:584-591)."""
+        return self.card_fk_relations
+
+    def calc_join_card2(self):
+        """|join(R,S,T)| = numFkCommon * A^2 (main_experiment4.cc:593-597)."""
+        return self.num_fk_common * self.mult_alpha ** 2
+
+    # -- setup -----------------------------------------------------------------
+
+    def init(self, shuffle: bool = True):
+        assert self.card_r >= self.num_fk_common + 2 * self.num_fk_exclusive
+        self.timers.start("init")
+        sa, ta = exp4_data(self.log2_card_r, self.alpha, self.mult_alpha,
+                           self.beta, self.mult_beta, shuffle)
+        self._rk = jax.device_put(np.arange(self.card_r, dtype=np.uint32))
+        self._sa = jax.device_put(sa)
+        self._ta = jax.device_put(ta)
+        jax.block_until_ready((self._rk, self._sa, self._ta))
+        self.timers.stop("init")
+
+    def print_relations(self, out=None):
+        out = out or sys.stdout
+        for name, rel in (("R", None), ("S", self._sa), ("T", self._ta)):
+            out.write(f"-- {name} --\n")
+            if rel is None:
+                for k in range(self.card_r):
+                    out.write(f"{k}|0\n")
+            else:
+                for i, a in enumerate(np.asarray(rel)):
+                    out.write(f"{i}|{a}\n")
+
+    def print_config(self, out=None):
+        out = out or sys.stdout
+        out.write(
+            "Data Generation Config\n"
+            f"  |R|: {self.card_r}  |S|: {self.card_s}  |T|: {self.card_t}\n"
+            f"  FK_Common  dv={self.num_fk_common} mult={self.mult_alpha}"
+            f" card={self.card_fk_common}\n"
+            f"  FK_Excl    dv={self.num_fk_exclusive} mult={self.mult_beta}"
+            f" card={self.card_fk_exclusive}\n"
+            f"  card(j(R,Fk)):  {self.calc_join_card1()}\n"
+            f"  card(j(R,S,T)): {self.calc_join_card2()}\n")
+
+    @staticmethod
+    def print_param_table(out=None, log2_range=(10, 26)):
+        """Enumerate parameter combinations with derived cardinalities
+        (``main_experiment4.cc:659-726``)."""
+        out = out or sys.stdout
+        out.write("r  a  am b  bm cardR cardS cardT FkC_dv FkC_mul FkC_card "
+                  "FkE_dv FkE_mul FkE_card c(RS) c(RST)\n")
+        ctr = 0
+        for lr in range(*log2_range):
+            for a in range(lr + 1):
+                for am in range(1, 10):
+                    for b in range(lr + 1):
+                        for bm in range(1, 10):
+                            e = Experiment4(lr, a, am, b, bm, plans=("none",))
+                            out.write(
+                                f"{lr} {a} {am} {b} {bm} {e.card_r} {e.card_s}"
+                                f" {e.card_t} {e.num_fk_common} {am}"
+                                f" {e.card_fk_common} {e.num_fk_exclusive}"
+                                f" {bm} {e.card_fk_exclusive}"
+                                f" {e.calc_join_card1()} {e.calc_join_card2()}\n")
+                            ctr += 1
+        out.write(f"Counter: {ctr}\n")
+
+    # -- measurement -------------------------------------------------------------
+
+    def _write_params(self):
+        self.csv.write_fields(
+            f"{int(self.min_runtime_s * 1e3)}ms", self.min_repeat,
+            self.log2_card_r, self.alpha, self.mult_alpha, self.beta,
+            self.mult_beta, self.card_r, self.card_s, self.card_t)
+
+    def _run_plan(self, name):
+        nested = name == "Ndu"
+        num_dv_fk = self.num_fk_common + self.num_fk_exclusive
+        build_fn = build_nested if nested else build_chaining
+        if nested:
+            out1 = self.calc_join_card2() // max(self.mult_alpha, 1)
+            out1 = max(out1, 1)
+            probe_fn = partial(_ndu_probe_strand,
+                               out1=out1, out2=max(self.calc_join_card2(), 1))
+        else:
+            probe_fn = partial(_chj_probe_strand,
+                               out1=max(self.calc_join_card1(), 1),
+                               out2=max(self.calc_join_card2(), 1))
+
+        durs = dict(bs=0.0, bt=0.0, probe=0.0, total=0.0)
+        state = {}
+
+        def once():
+            t0 = time.perf_counter()
+            tbl_s = build_fn(self._sa, num_dv_fk)
+            jax.block_until_ready(tbl_s)
+            t1 = time.perf_counter()
+            tbl_t = build_fn(self._ta, num_dv_fk)
+            jax.block_until_ready(tbl_t)
+            t2 = time.perf_counter()
+            out = probe_fn(tbl_s, tbl_t, self._rk)
+            jax.block_until_ready(out)
+            t3 = time.perf_counter()
+            durs["bs"] += t1 - t0
+            durs["bt"] += t2 - t1
+            durs["probe"] += t3 - t2
+            durs["total"] += t3 - t0
+            state["out"] = out
+
+        _, reps = repeat_mintime(self.min_runtime_s, once,
+                                 min_repeat=self.min_repeat)
+        out = state["out"]
+
+        if self.trace:
+            print(f"Plan {name}: reps {reps}, "
+                  f"probe {durs['probe']/reps*1e3:.3f} ms, c_top {int(out['c_top'])}")
+
+        self._write_params()
+        self.csv.write_fields(
+            name, "nested" if nested else "chaining", reps,
+            int(durs["total"] / reps * 1e9),
+            int(durs["bs"] / reps * 1e9),
+            int(durs["bt"] / reps * 1e9),
+            int(durs["probe"] / reps * 1e9),
+            self.card_r, self.card_s, self.card_t,
+            self.card_s, self.card_t,
+            int(out["c_probe_RS"]), int(out["c_probe_RS_cmp"]),
+            int(out["c_probe_RT"]), int(out["c_probe_RT_cmp"]),
+            int(out["c_unnest_1"]) if nested else "NA",
+            int(out["c_unnest_2"]) if nested else "NA",
+            int(out["c_top"]),
+        ).newline()
+
+    def run(self):
+        self.csv.write_fields(*_CSV_HEADER).newline()
+        if "Ndu" in self.plans:
+            self._run_plan("Ndu")
+        if "Chj" in self.plans:
+            self._run_plan("Chj")
+
+    def print_timers(self):
+        self.timers.print()

@@ -1,0 +1,54 @@
+"""Benchmark repetition protocol and wall-clock helpers.
+
+``repeat_mintime`` reproduces the reference's measurement discipline
+(``util/measure_helpers.hh:15-41``): run the closure, doubling the planned
+repetition count whenever the cumulative time is still under ``min_time`` at
+the end of the current plan, with a per-iteration teardown and a minimum
+repetition floor.  Returns ``(total_seconds, n_reps)``.
+
+On TPU, the closure is expected to call ``block_until_ready`` on its outputs
+so device time is actually observed (the JAX analogue of the reference timing
+a synchronous ``run()``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+def repeat_mintime(min_time_s: float, func, teardown=lambda: None,
+                   teardown_after_last: bool = False, min_repeat: int = 1):
+    n = min_repeat
+    total = 0.0
+    i = 0
+    while i < n:
+        t0 = time.perf_counter()
+        func()
+        total += time.perf_counter() - t0
+        if i == n - 1 and total < min_time_s:
+            n *= 2
+        if i != n - 1 or teardown_after_last:
+            teardown()
+        i += 1
+    return total, n
+
+
+@dataclass
+class Timers:
+    """Named start/stop experiment timers (main_experiment1.cc:199-201,1349-1359)."""
+
+    points: dict = field(default_factory=dict)
+
+    def start(self, desc: str):
+        self.points[desc] = [time.perf_counter(), None]
+
+    def stop(self, desc: str):
+        self.points[desc][1] = time.perf_counter()
+
+    def print(self, out=None):
+        import sys
+        out = out or sys.stdout
+        for desc, (t0, t1) in sorted(self.points.items()):
+            dur_ms = ((t1 if t1 is not None else time.perf_counter()) - t0) * 1e3
+            out.write(f"  {desc}|{dur_ms:.3f} ms\n")

@@ -1,0 +1,153 @@
+"""Differential tests: experiment pipelines vs reference binaries' CSVs.
+
+The reference's own correctness strategy is plan-vs-plan redundancy and
+analytic cardinalities (SURVEY.md section 4); here we go further and diff
+every counter and hash-table-shape column of the measurement CSV against
+golden CSVs captured from the reference binaries (tests/golden/csv/), plus a
+result-set equality check against a numpy oracle join.
+"""
+
+import csv
+import io
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hashjoin3d_tpu.models.exp1 import Experiment1
+from hashjoin3d_tpu.models.exp4 import Experiment4
+from hashjoin3d_tpu.utils import exp1_data
+
+GOLDEN = Path(__file__).parent / "golden" / "csv"
+
+# columns whose values must be bit-equal (times/reps legitimately differ)
+_VALUE_COLS = lambda h: [
+    i for i, c in enumerate(h)
+    if c.startswith("c_") or c.startswith("card") or c in (
+        "plan", "ht_impl", "build", "probe", "ht_buckets", "ht_fracEmpty",
+        "cc0_avg", "cc0_min", "cc0_max", "cc1_avg", "cc1_min", "cc1_max",
+        "fkMax", "numDvSa", "log2CardR", "log2CardS", "skew", "t", "b",
+        "a", "aM", "bM",
+    )
+]
+
+
+def _load(path_or_str):
+    if isinstance(path_or_str, Path):
+        text = path_or_str.read_text()
+    else:
+        text = path_or_str
+    rows = list(csv.reader(io.StringIO(text), delimiter=";"))
+    return rows[0], rows[1:]
+
+
+def _diff(ref_hdr, ref_rows, got_hdr, got_rows, plan_col):
+    assert ref_hdr == got_hdr
+    refd = {r[plan_col]: r for r in ref_rows}
+    gotd = {r[plan_col]: r for r in got_rows}
+    assert set(refd) == set(gotd)
+    cols = _VALUE_COLS(ref_hdr)
+    mismatches = []
+    for plan, r in refd.items():
+        g = gotd[plan]
+        for i in cols:
+            if i < len(r) and i < len(g) and r[i] != g[i]:
+                mismatches.append((plan, ref_hdr[i], r[i], g[i]))
+    assert not mismatches, mismatches
+
+
+@pytest.mark.parametrize("golden,params", [
+    ("e1_R6_S8_uni_t0.csv", dict(log2_card_r=6, log2_card_s=8, skew=False,
+                                 t=0, b=1)),
+    ("e1_R7_S9_zipf_t2_b2.csv", dict(log2_card_r=7, log2_card_s=9, skew=True,
+                                     t=2, b=2)),
+])
+def test_exp1_csv_matches_reference(golden, params):
+    buf = io.StringIO()
+    exp = Experiment1(**params, measure_file=buf, min_runtime_s=0.0,
+                      min_repeat=1, trace=False)
+    exp.init()
+    exp.run()
+    _diff(*_load(GOLDEN / golden), *_load(buf.getvalue()), plan_col=9)
+
+
+@pytest.mark.parametrize("golden,params", [
+    ("e4_R6_a2_A2_b3_B2.csv", dict(log2_card_r=6, alpha=2, mult_alpha=2,
+                                   beta=3, mult_beta=2)),
+    ("e4_R8_a3_A3_b2_B1.csv", dict(log2_card_r=8, alpha=3, mult_alpha=3,
+                                   beta=2, mult_beta=1)),
+])
+def test_exp4_csv_matches_reference(golden, params):
+    buf = io.StringIO()
+    exp = Experiment4(**params, measure_file=buf, min_runtime_s=0.0,
+                      min_repeat=1, trace=False)
+    exp.init()
+    exp.run()
+    _diff(*_load(GOLDEN / golden), *_load(buf.getvalue()), plan_col=10)
+
+
+def test_exp1_result_set_vs_numpy_oracle():
+    """Materialized join rows equal the true join as a multiset (exp1 data)."""
+    import jax
+    from hashjoin3d_tpu.models.exp1 import (
+        _chaining_probe_strand, _nested_probe_strand)
+    from hashjoin3d_tpu.ops import build_chaining, build_nested
+
+    rk, sa, ndv = exp1_data(6, 8, False, 1)
+    want = sorted(
+        (int(s_row), int(a)) for s_row, a in enumerate(sa)
+        if a in set(rk.tolist()))
+    # Csr: probe S into R-table; pair = (s_row, R.k[r_row]) with R.k[r]==S.a
+    tbl = build_chaining(rk, 64)
+    out = _chaining_probe_strand(tbl, sa, 1 << 8, True)
+    got = sorted(
+        (int(p), int(rk[b]))
+        for p, b in zip(np.asarray(out["probe_row"]), np.asarray(out["build_row"]))
+        if p >= 0)
+    assert got == want
+
+    # Nrs direction: probe R into S-table; pairs (r_row -> key, s_row)
+    tbl2 = build_nested(sa, max(ndv, 1))
+    out2 = _nested_probe_strand(tbl2, rk, 1 << 8)
+    got2 = sorted(
+        (int(b), int(rk[p]))
+        for p, b in zip(np.asarray(out2["probe_row"]), np.asarray(out2["build_row"]))
+        if p >= 0)
+    assert got2 == want
+
+    # plan-vs-plan redundancy: identical totals (SURVEY.md section 4.5)
+    assert int(out["total"]) == int(out2["total"]) == len(want)
+
+
+def test_exp4_result_set_vs_numpy_oracle():
+    """Ndu and Chj produce the same triples, equal to the numpy oracle."""
+    from hashjoin3d_tpu.models.exp4 import _chj_probe_strand, _ndu_probe_strand
+    from hashjoin3d_tpu.ops import build_chaining, build_nested
+    from hashjoin3d_tpu.utils import exp4_data
+
+    exp = Experiment4(6, 2, 2, 3, 2, plans=("none",))
+    sa, ta = exp4_data(6, 2, 2, 3, 2)
+    rk = np.arange(64, dtype=np.uint32)
+    ndv = exp.num_fk_common + exp.num_fk_exclusive
+
+    want = sorted(
+        (int(k), int(si), int(ti))
+        for k in rk
+        for si in np.nonzero(sa == k)[0]
+        for ti in np.nonzero(ta == k)[0])
+
+    def triples(out):
+        return sorted(
+            (int(r), int(s), int(t))
+            for r, s, t in zip(np.asarray(out["r_row"]), np.asarray(out["s_row"]),
+                               np.asarray(out["t_row"]))
+            if r >= 0)
+
+    c1, c2 = exp.calc_join_card1(), exp.calc_join_card2()
+    ndu = _ndu_probe_strand(build_nested(sa, ndv), build_nested(ta, ndv), rk,
+                            c2 // 2, c2)
+    chj = _chj_probe_strand(build_chaining(sa, ndv), build_chaining(ta, ndv),
+                            rk, c1, c2)
+    assert triples(ndu) == want
+    assert triples(chj) == want
+    assert int(ndu["c_top"]) == c2 == len(want)
