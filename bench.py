@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Headline benchmark: chaining hash-join probe throughput on one TPU chip.
+
+Reproduces the reference's primary measurement (BASELINE.md, experiment 1 plan
+Csr: build |R| = 2^20 unique keys, probe |S| = 2^24 uniform FKs, early-exit
+probe) with the reference's repetition protocol (>= 300 ms cumulative,
+>= 8 reps).  The timed probe strand materializes the (probe_row, build_row)
+result columns on device and produces the exact reference counters
+(c_htProbe = c_top = 2^24, c_htProbeCmp) -- strictly more work than the
+reference's count-only Top operator.
+
+Baseline: 13.1 M probes/s on one CPU core (BASELINE.md, t_probeStr = 1.284 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+LOG2_R, LOG2_S = 20, 24
+BASELINE_PROBES_PER_S = 16777216 / 1.284  # BASELINE.md Csr probe strand
+
+
+def main():
+    import jax
+
+    from hashjoin3d_tpu.models.exp1 import _chaining_probe_strand
+    from hashjoin3d_tpu.ops import build_chaining
+    from hashjoin3d_tpu.utils import exp1_data
+    from hashjoin3d_tpu.utils.measure import repeat_mintime
+
+    card_s = 1 << LOG2_S
+    rk, sa, _ = exp1_data(LOG2_R, LOG2_S, False, 0)
+    rk = jax.device_put(rk)
+    sa = jax.device_put(sa)
+    jax.block_until_ready((rk, sa))
+
+    table = build_chaining(rk, 1 << LOG2_R)
+    jax.block_until_ready(table)
+
+    # warm-up compile outside the timed region
+    out = _chaining_probe_strand(table, sa, card_s, True)
+    jax.block_until_ready(out)
+    assert int(out["c_htProbe"]) == card_s, int(out["c_htProbe"])
+
+    def once():
+        jax.block_until_ready(_chaining_probe_strand(table, sa, card_s, True))
+
+    total_s, reps = repeat_mintime(0.3, once, min_repeat=8)
+    per_rep = total_s / reps
+    value = card_s / per_rep
+
+    print(json.dumps({
+        "metric": "csr_probe_throughput",
+        "value": round(value, 1),
+        "unit": "probes/s",
+        "vs_baseline": round(value / BASELINE_PROBES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

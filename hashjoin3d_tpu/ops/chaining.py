@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .hashing import murmur32
-from .layout import I32, U32, GroupIndex, bucket_csr, expand, key_group_index, lookup
+from .layout import I32, U32, GroupIndex, expand, key_group_index, lookup
 
 
 @jax.tree_util.register_dataclass
@@ -67,12 +67,14 @@ class ChainingTable:
 
 
 @partial(jax.jit, static_argnames=("num_buckets",))
-def build_chaining(keys: jax.Array, num_buckets: int) -> ChainingTable:
+def build_chaining(keys: jax.Array, num_buckets: int,
+                   valid: jax.Array | None = None) -> ChainingTable:
     """Build the chaining table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgHashJoinBuild::step``
     (``algebra.hh:574-577``) -- but as two sorts + histograms instead of n
-    pointer insertions into a ``Reservoir`` arena.
+    pointer insertions into a ``Reservoir`` arena.  ``valid`` marks live rows
+    (padded shuffle outputs / filtered batches).
     """
     keys = keys.astype(U32)
     n = keys.shape[0]
@@ -80,28 +82,36 @@ def build_chaining(keys: jax.Array, num_buckets: int) -> ChainingTable:
 
     h = murmur32(keys)
     b = (h % jnp.uint32(num_buckets)).astype(I32)
+    if valid is not None:
+        b = jnp.where(valid, b, num_buckets)  # park invalid rows past the end
 
-    bucket_start, bucket_len = bucket_csr(b, num_buckets)
+    blen_ext = jnp.bincount(b, length=num_buckets + 1).astype(I32)
+    bucket_len = blen_ext[:num_buckets]
+    bucket_start = (jnp.cumsum(bucket_len) - bucket_len).astype(I32)
 
     # Chain position per row: stable sort by bucket keeps insertion (row) order,
     # giving each row its insertion rank within its bucket.
     b_sorted, srow = lax.sort((b, row), num_keys=1, is_stable=True)
-    rank = jnp.arange(n, dtype=I32) - bucket_start[b_sorted]
-    blen_sorted = bucket_len[b_sorted]
+    vs = b_sorted < num_buckets
+    rank = jnp.arange(n, dtype=I32) - bucket_start[
+        jnp.minimum(b_sorted, num_buckets - 1)]
+    blen_sorted = bucket_len[jnp.minimum(b_sorted, num_buckets - 1)]
     # insertion rank 0 -> chain pos 0 (directory node); rank p>0 -> pos len-p
     pos_sorted = jnp.where(rank == 0, 0, blen_sorted - rank)
+    pos_sorted = jnp.where(vs, pos_sorted, n)
     pos_by_row = jnp.zeros(n, I32).at[srow].set(pos_sorted)
 
-    groups = key_group_index(keys)
+    groups = key_group_index(keys, valid)
 
     # Minimum chain position among each key's rows: the node the early-exit
     # probe stops at.
-    gid_sorted = groups.gid_by_row[srow]
-    group_min_pos = jnp.full(n, n, I32).at[gid_sorted].min(pos_sorted)
+    gid_sorted = jnp.where(vs, groups.gid_by_row[srow], n - 1)
+    group_min_pos = jnp.full(n, n, I32).at[gid_sorted].min(
+        jnp.where(vs, pos_sorted, n))
     # The row sitting at that minimum position: due to LIFO head-insertion this
     # is the *last inserted* duplicate (or the bucket's directory row), and it is
     # the tuple an early-exit probe emits (``algebra.hh:650-655``).
-    is_min = pos_sorted == group_min_pos[gid_sorted]
+    is_min = vs & (pos_sorted == group_min_pos[gid_sorted])
     group_chain_first = (
         jnp.full(n, -1, I32).at[gid_sorted].max(jnp.where(is_min, srow, -1))
     )

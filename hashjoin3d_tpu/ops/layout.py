@@ -68,44 +68,66 @@ class GroupIndex:
         return self.group_rows.shape[0]
 
 
-def key_group_index(keys: jax.Array) -> GroupIndex:
+def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupIndex:
     """Group build rows by exact key value; duplicates ordered [first, rest LIFO].
 
     Vectorized equivalent of repeatedly calling ``HtNested1::insert``
     (``ht_nested.hh:286-311``): a sort by (key, row) + run-length boundaries
     replaces the per-tuple directory walk, and a bijective scatter produces the
     sub-chain emission order without building linked lists.
+
+    ``valid`` marks live rows (used for padded shuffle outputs and filtered
+    batches); invalid rows join no group (``gid_by_row == -1``).  The masked
+    path costs one extra sort key.
     """
     keys = keys.astype(U32)
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
 
-    # Stable sort by key keeps rows ascending within each duplicate run.
-    skey, srow = lax.sort((keys, row), num_keys=1, is_stable=True)
+    if valid is None:
+        # Stable sort by key keeps rows ascending within each duplicate run.
+        skey, srow = lax.sort((keys, row), num_keys=1, is_stable=True)
+        vs = None
+        n_valid = jnp.int32(n)
+    else:
+        inv = (~valid).astype(I32)
+        # Major key: validity (invalid rows sort last); minor: key value.
+        _, skey, srow = lax.sort((inv, keys, row), num_keys=2, is_stable=True)
+        n_valid = (n - jnp.sum(inv)).astype(I32)
+        vs = jnp.arange(n, dtype=I32) < n_valid  # valid in sorted order
 
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     )
+    if vs is not None:
+        is_first = is_first & vs
     gid = jnp.cumsum(is_first.astype(I32)) - 1          # group id per sorted row
-    n_keys = gid[-1] + 1
+    n_keys = jnp.maximum(gid[-1] + 1, 0)
 
     # Offsets of each group's run inside the sorted order; padded with n.
     group_start = jnp.nonzero(is_first, size=n, fill_value=n)[0].astype(I32)
     next_start = jnp.concatenate([group_start[1:], jnp.array([n], I32)])
+    next_start = jnp.minimum(next_start, n_valid)  # last run must not absorb pads
     group_len = jnp.where(group_start < n, next_start - group_start, 0).astype(I32)
 
-    valid = group_start < n
-    ukey = jnp.where(valid, skey[jnp.minimum(group_start, n - 1)], UKEY_PAD)
-    first_row = jnp.where(valid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
+    gvalid = group_start < n
+    ukey = jnp.where(gvalid, skey[jnp.minimum(group_start, n - 1)], UKEY_PAD)
+    first_row = jnp.where(
+        gvalid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
 
     # Emission order per group: sorted position p=0 stays first, the rest are
     # reversed (head-insert into the sub-chain, ht_nested.hh:398-412).
     p = jnp.arange(n, dtype=I32) - group_start[gid]
     glen = group_len[gid]
     q = jnp.where(p == 0, 0, glen - p)
-    group_rows = jnp.zeros(n, I32).at[group_start[gid] + q].set(srow)
+    target = group_start[gid] + q
+    if vs is not None:
+        # invalid rows park at their own sorted slot (>= n_valid): bijective
+        target = jnp.where(vs, target, jnp.arange(n, dtype=I32))
+    group_rows = jnp.zeros(n, I32).at[target].set(srow)
 
-    gid_by_row = jnp.zeros(n, I32).at[srow].set(gid)
+    gid_eff = gid if vs is None else jnp.where(vs, gid, -1)
+    gid_by_row = jnp.zeros(n, I32).at[srow].set(gid_eff)
 
     return GroupIndex(
         ukey=ukey,

@@ -68,17 +68,19 @@ class NestedTable:
 
 
 @partial(jax.jit, static_argnames=("num_buckets",))
-def build_nested(keys: jax.Array, num_buckets: int) -> NestedTable:
+def build_nested(keys: jax.Array, num_buckets: int,
+                 valid: jax.Array | None = None) -> NestedTable:
     """Build the 3D table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgNestJoinBuild::step``
     (``algebra.hh:386-389``).  Grouping duplicates under one directory entry is
     *naturally* a sort + run-length encode on TPU -- no per-tuple chain walks.
+    ``valid`` marks live rows (padded shuffle outputs / filtered batches).
     """
     keys = keys.astype(U32)
     n = keys.shape[0]
 
-    groups = key_group_index(keys)
+    groups = key_group_index(keys, valid)
 
     h_main = murmur32(groups.ukey)
     valid = groups.group_len > 0

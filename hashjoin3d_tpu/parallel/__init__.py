@@ -1,0 +1,17 @@
+"""Multi-chip scaling: device meshes, hash-partition shuffles, distributed joins.
+
+The reference is single-process single-threaded (SURVEY.md section 2.6); this
+layer is new design territory, built the TPU way: ``jax.sharding.Mesh`` +
+``shard_map`` with XLA collectives (``all_to_all``, ``psum``) over ICI instead
+of message passing.
+"""
+
+from .mesh import make_mesh, shard_axis
+from .shuffle import shard_of_key, partition_exchange
+from .dist_join import dist_nested_join, dist_chaining_join
+
+__all__ = [
+    "make_mesh", "shard_axis",
+    "shard_of_key", "partition_exchange",
+    "dist_nested_join", "dist_chaining_join",
+]

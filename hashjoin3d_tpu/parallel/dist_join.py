@@ -1,0 +1,143 @@
+"""Distributed hash joins over a device mesh.
+
+SPMD dataflow (both table variants):
+
+  1. build side: ``partition_exchange`` routes build rows to the shard owning
+     their key; each shard builds its local table (chaining or 3D) over the
+     received rows (validity-masked -- padding never enters a group);
+  2. probe side: probe rows route to the same shards, probe locally;
+  3. counters are ``psum``'d across the axis; matched/unnested row-id pairs are
+     materialized shard-locally in *global* row coordinates (original row ids
+     travel through the shuffle as payload).
+
+This is the operator-parallel axis the reference never had (SURVEY.md
+section 2.6): per-chip hash partitions with an ``all_to_all`` shuffle instead
+of one big table.  Result counters equal the single-chip engine exactly; the
+comparison counters (`num_cmps`) equal the single-chip value of a table built
+in shuffle arrival order (chain order is insertion-order-dependent in the
+reference too, so cross-run cmp counts are layout artifacts; match counts and
+result sets are layout-independent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import (
+    build_chaining,
+    build_nested,
+    materialize_chaining_join,
+    probe_chaining,
+    probe_nested,
+    unnest,
+)
+from ..ops.layout import I32
+from .mesh import SHARD_AXIS
+from .shuffle import partition_exchange
+
+
+def _global_rows(n_local: int, axis: str) -> jax.Array:
+    base = lax.axis_index(axis).astype(jnp.int32) * n_local
+    return base + jnp.arange(n_local, dtype=I32)
+
+
+def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
+                     build_capacity: int, probe_capacity: int,
+                     out_capacity: int, axis: str = SHARD_AXIS):
+    """Build a jitted distributed 3D-hash-join step.
+
+    Returns ``step(build_keys, probe_keys) -> dict`` where the key columns are
+    sharded along ``axis``.  The result dict carries replicated global counters
+    (num_matches, num_cmps, num_unnested, overflow) and shard-local unnested
+    (probe_row, build_row) global-id pairs of length ``out_capacity`` per shard
+    (valid-masked).
+    """
+    ns = mesh.shape[axis]
+
+    def step(build_keys, probe_keys):
+        nb_local = build_keys.shape[0]
+        np_local = probe_keys.shape[0]
+
+        bkeys, bpay, bvalid, bovf = partition_exchange(
+            axis, build_keys, {"row": _global_rows(nb_local, axis)},
+            ns, build_capacity)
+        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid)
+
+        pkeys, ppay, pvalid, povf = partition_exchange(
+            axis, probe_keys, {"row": _global_rows(np_local, axis)},
+            ns, probe_capacity)
+        res = probe_nested(table, pkeys, mask=pvalid)
+
+        prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
+        # map shard-local ids back to global row ids
+        probe_row = jnp.where(ovalid, ppay["row"][jnp.maximum(prow_l, 0)], -1)
+        build_row = jnp.where(ovalid, bpay["row"][jnp.maximum(brow_l, 0)], -1)
+
+        return dict(
+            num_matches=lax.psum(res.num_matches, axis),
+            num_cmps=lax.psum(res.num_cmps, axis),
+            num_unnested=lax.psum(total, axis),
+            overflow=bovf + povf,
+            probe_row=probe_row,
+            build_row=build_row,
+            out_valid=ovalid,
+        )
+
+    specs_in = (P(axis), P(axis))
+    specs_out = dict(
+        num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
+        probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
+    )
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
+                             out_specs=specs_out))
+
+
+def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
+                       build_capacity: int, probe_capacity: int,
+                       out_capacity: int, unique: bool = False,
+                       axis: str = SHARD_AXIS):
+    """Distributed chaining hash join; see :func:`dist_nested_join`."""
+    ns = mesh.shape[axis]
+
+    def step(build_keys, probe_keys):
+        nb_local = build_keys.shape[0]
+        np_local = probe_keys.shape[0]
+
+        bkeys, bpay, bvalid, bovf = partition_exchange(
+            axis, build_keys, {"row": _global_rows(nb_local, axis)},
+            ns, build_capacity)
+        table = build_chaining(bkeys, num_buckets_per_shard, valid=bvalid)
+
+        pkeys, ppay, pvalid, povf = partition_exchange(
+            axis, probe_keys, {"row": _global_rows(np_local, axis)},
+            ns, probe_capacity)
+        res = probe_chaining(table, pkeys, unique=unique, mask=pvalid)
+
+        prow_l, brow_l, ovalid, total = materialize_chaining_join(
+            table, res, out_capacity, unique=unique)
+        probe_row = jnp.where(ovalid, ppay["row"][jnp.maximum(prow_l, 0)], -1)
+        build_row = jnp.where(ovalid, bpay["row"][jnp.maximum(brow_l, 0)], -1)
+
+        return dict(
+            num_matches=lax.psum(res.num_matches, axis),
+            num_cmps=lax.psum(res.num_cmps, axis),
+            num_results=lax.psum(total, axis),
+            overflow=bovf + povf,
+            probe_row=probe_row,
+            build_row=build_row,
+            out_valid=ovalid,
+        )
+
+    specs_in = (P(axis), P(axis))
+    specs_out = dict(
+        num_matches=P(), num_cmps=P(), num_results=P(), overflow=P(),
+        probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
+    )
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
+                             out_specs=specs_out))

@@ -1,0 +1,89 @@
+"""Hash-partition shuffle: the distributed exchange under every parallel join.
+
+The reference has no communication layer at all (SURVEY.md section 5.8); the
+TPU-native design is: rows are routed to the shard owning their join key
+(``shard = murmur32(murmur32(key)) % n_shards`` -- double-hashed so shard
+routing is decorrelated from the in-table bucket assignment ``h % num_buckets``),
+locally radix-partitioned by destination with one stable sort, packed into a
+fixed-capacity ``[n_shards, capacity]`` send tensor, and exchanged with a
+single ``lax.all_to_all`` that XLA lowers onto the ICI ring.
+
+Static shapes force a per-destination ``capacity``; rows beyond it are dropped
+and *counted* -- callers size capacity from the expected distribution (uniform:
+local_n/n_shards plus slack) and must check ``overflow == 0``.  Skewed key
+distributions are the province of heavy-hitter replication (planned on top of
+this primitive).
+
+All functions here run *inside* ``shard_map`` -- they see the per-device local
+shard of each array and use ``axis_name`` collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.hashing import murmur32
+from ..ops.layout import I32, U32
+
+
+def shard_of_key(keys: jax.Array, num_shards: int) -> jax.Array:
+    """Owning shard of each key (double murmur, see module docstring)."""
+    return (murmur32(murmur32(keys)) % jnp.uint32(num_shards)).astype(I32)
+
+
+def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
+                       num_shards: int, capacity: int,
+                       valid: jax.Array | None = None):
+    """Exchange rows to their key-owning shards.
+
+    Args (all per-device local views, inside shard_map):
+      keys:     u32[n] join keys
+      payloads: dict of i32/u32[n] columns to ship alongside (e.g. global row ids)
+      capacity: static max rows accepted per (src, dst) pair
+
+    Returns ``(keys_recv, payloads_recv, valid_recv, overflow)`` where the recv
+    arrays have length ``num_shards * capacity`` and ``overflow`` is the global
+    number of dropped rows (psum'd; must be 0 for a lossless exchange).
+    """
+    n = keys.shape[0]
+    keys = keys.astype(U32)
+    dest = shard_of_key(keys, num_shards)
+    if valid is not None:
+        dest = jnp.where(valid, dest, num_shards)
+
+    # Local radix partition by destination: one stable multi-payload sort.
+    names = sorted(payloads)
+    ops = (dest, keys) + tuple(payloads[k].astype(I32) for k in names)
+    sorted_ops = lax.sort(ops, num_keys=1, is_stable=True)
+    dest_s, keys_s, payload_s = sorted_ops[0], sorted_ops[1], sorted_ops[2:]
+
+    counts = jnp.bincount(dest_s, length=num_shards + 1).astype(I32)[:num_shards]
+    starts = (jnp.cumsum(counts) - counts).astype(I32)
+    within = jnp.arange(n, dtype=I32) - starts[jnp.minimum(dest_s, num_shards - 1)]
+    live = dest_s < num_shards
+    fits = live & (within < capacity)
+    overflow = jnp.sum((live & ~fits).astype(jnp.int64))
+    overflow = lax.psum(overflow, axis_name)
+
+    tgt = jnp.where(fits, dest_s * capacity + within, num_shards * capacity)
+
+    def pack(col, fill):
+        buf = jnp.full(num_shards * capacity, fill, col.dtype)
+        return buf.at[tgt].set(col, mode="drop").reshape(num_shards, capacity)
+
+    send_keys = pack(keys_s, jnp.uint32(0))
+    send_valid = pack(fits.astype(I32), 0)
+    send_payloads = [pack(c, -1) for c in payload_s]
+
+    # The exchange: row block d of the send tensor goes to device d; we receive
+    # one block from every peer.
+    def xchg(x):
+        return lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0)
+
+    keys_r = xchg(send_keys).reshape(-1)
+    valid_r = xchg(send_valid).reshape(-1) > 0
+    payloads_r = {k: xchg(c).reshape(-1) for k, c in zip(names, send_payloads)}
+
+    return keys_r, payloads_r, valid_r, overflow

@@ -1,0 +1,99 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md section 4d).
+
+The distributed joins must agree with the single-chip engine on match counts
+and result-id multisets for uniform and skewed keys.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hashjoin3d_tpu.ops import build_nested, probe_nested, unnest
+from hashjoin3d_tpu.parallel import (
+    dist_chaining_join,
+    dist_nested_join,
+    make_mesh,
+    shard_axis,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _pairs(out):
+    return sorted(
+        (int(p), int(b))
+        for p, b, v in zip(np.asarray(out["probe_row"]),
+                           np.asarray(out["build_row"]),
+                           np.asarray(out["out_valid"]))
+        if v)
+
+
+def _oracle_pairs(bk, pk):
+    want = []
+    for p, k in enumerate(pk):
+        for b in np.nonzero(bk == k)[0]:
+            want.append((p, int(b)))
+    return sorted(want)
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_dist_nested_join_matches_oracle(mesh, skewed):
+    rng = np.random.default_rng(11)
+    n_b, n_p = 1024, 2048
+    if skewed:
+        bk = np.minimum(rng.zipf(1.2, n_b), 300).astype(np.uint32)
+    else:
+        bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+
+    sh = shard_axis(mesh)
+    bk_d = jax.device_put(bk, sh)
+    pk_d = jax.device_put(pk, sh)
+
+    cap_b = n_b  # generous: skew can put most duplicates on one shard
+    cap_p = n_p
+    out_cap = 8 * n_p
+    step = dist_nested_join(mesh, num_buckets_per_shard=64,
+                            build_capacity=cap_b, probe_capacity=cap_p,
+                            out_capacity=out_cap)
+    out = step(bk_d, pk_d)
+    assert int(out["overflow"]) == 0
+
+    want = _oracle_pairs(bk, pk)
+    assert _pairs(out) == want
+
+    # single-chip equivalence of the counters that are layout-independent
+    tbl = build_nested(bk, 64)
+    res = probe_nested(tbl, pk)
+    assert int(out["num_matches"]) == int(res.num_matches)
+    assert int(out["num_unnested"]) == len(want)
+
+
+def test_dist_chaining_join_matches_oracle(mesh):
+    rng = np.random.default_rng(5)
+    bk = rng.integers(0, 100, 512, dtype=np.uint32)
+    pk = rng.integers(0, 130, 1024, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    step = dist_chaining_join(mesh, num_buckets_per_shard=32,
+                              build_capacity=512, probe_capacity=1024,
+                              out_capacity=8 * 1024)
+    out = step(jax.device_put(bk, sh), jax.device_put(pk, sh))
+    assert int(out["overflow"]) == 0
+    assert _pairs(out) == _oracle_pairs(bk, pk)
+
+
+def test_dist_overflow_detected(mesh):
+    """Deliberately undersized capacity must report dropped rows, not corrupt."""
+    bk = np.full(256, 7, np.uint32)  # all rows route to one shard
+    pk = np.array([7] * 8, np.uint32)
+    step = dist_nested_join(mesh, num_buckets_per_shard=8,
+                            build_capacity=16, probe_capacity=8,
+                            out_capacity=4096)
+    out = step(jax.device_put(bk, shard_axis(mesh)),
+               jax.device_put(pk, shard_axis(mesh)))
+    assert int(out["overflow"]) > 0

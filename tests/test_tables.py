@@ -161,3 +161,38 @@ def test_probe_key_equal_to_pad_sentinel():
     assert int(res.num_matches) == 1
     _, brow, valid, total = unnest(nt2, res, 4)
     assert int(total) == 2
+
+
+def test_masked_build_equals_compacted_build():
+    """Building with a validity mask == building on the compacted rows."""
+    rng = np.random.default_rng(3)
+    bk = rng.integers(0, 40, 120, dtype=np.uint32)
+    valid = rng.random(120) < 0.7
+    pk = rng.integers(0, 50, 200, dtype=np.uint32)
+    compact = bk[valid]
+
+    for build, probe in ((build_nested, probe_nested),
+                         (build_chaining, probe_chaining)):
+        masked_tbl = build(bk, 16, valid=np.asarray(valid))
+        # note: chain/cmp counters differ (insertion order changes), but match
+        # sets and group sizes must be identical
+        r1 = probe(masked_tbl, pk)
+        tbl2 = build(compact.copy(), 16)
+        r2 = probe(tbl2, pk)
+        assert int(r1.num_matches) == int(r2.num_matches)
+        if hasattr(r1, "group_len"):
+            np.testing.assert_array_equal(
+                np.asarray(r1.group_len), np.asarray(r2.group_len))
+
+
+def test_masked_build_maps_rows_correctly():
+    bk = np.array([5, 9, 5, 7, 5], np.uint32)
+    valid = np.array([True, False, True, True, False])
+    tbl = build_nested(bk, 4, valid=valid)
+    res = probe_nested(tbl, np.array([5, 9, 7], np.uint32))
+    assert int(res.num_matches) == 2  # 9 is masked out
+    prow, brow, v, total = unnest(tbl, res, 8)
+    pairs = sorted((int(p), int(b)) for p, b, ok in
+                   zip(np.asarray(prow), np.asarray(brow), np.asarray(v)) if ok)
+    # key 5 -> rows 0,2 (row 4 masked); key 7 -> row 3
+    assert pairs == [(0, 0), (0, 2), (2, 3)]
