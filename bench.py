@@ -26,16 +26,18 @@ def main():
 
     from hashjoin3d_tpu.models.exp1 import _chaining_probe_strand
     from hashjoin3d_tpu.ops import build_chaining
+    from hashjoin3d_tpu.ops.chaining import can_use_dense_direct
     from hashjoin3d_tpu.utils import exp1_data
     from hashjoin3d_tpu.utils.measure import repeat_mintime
 
     card_s = 1 << LOG2_S
     rk, sa, _ = exp1_data(LOG2_R, LOG2_S, False, 0)
+    dd = can_use_dense_direct(rk, 1 << LOG2_R)
     rk = jax.device_put(rk)
     sa = jax.device_put(sa)
     jax.block_until_ready((rk, sa))
 
-    table = build_chaining(rk, 1 << LOG2_R)
+    table = build_chaining(rk, 1 << LOG2_R, dense_direct=dd)
     jax.block_until_ready(table)
 
     # warm-up compile outside the timed region

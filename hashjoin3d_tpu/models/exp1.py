@@ -44,6 +44,9 @@ from ..ops import (
     probe_nested,
     unnest,
 )
+from ..ops.chaining import shrink_chaining
+from ..ops.nested import shrink_nested
+from ..ops.layout import group_capacity
 from ..ops.stats import chaining_statistics, nested_statistics
 from ..utils import exp1_data
 from ..utils.csv_writer import CSVWriter
@@ -277,40 +280,61 @@ class Experiment1:
             self._run_scan_plan("scs", self._sa)
         nb_r = max(self.card_r // self.b, 1)      # build on key side: #dv = |R|
         nb_s = max(self.num_dv_sa // self.b, 1)   # build on FK side: #dv(S.a)
+
+        # Build wrappers that compact the distinct-key directory once the true
+        # n_keys is known (one host sync inside the timed build strand) -- the
+        # probe then sorts/searches O(#distinct) instead of O(#rows).
+        def chaining_build(nb, dense=False):
+            def f(keys):
+                t = build_chaining(keys, nb, dense_direct=dense)
+                return shrink_chaining(
+                    t, group_capacity(int(t.groups.n_keys), keys.shape[0]))
+            return f
+
+        def nested_build(nb, dense=False):
+            def f(keys):
+                t = build_nested(keys, nb, dense_direct=dense)
+                return shrink_nested(
+                    t, group_capacity(int(t.groups.n_keys), keys.shape[0]))
+            return f
+        # Adaptive physical layout: R.k is a dense permutation by construction
+        # (main_experiment1.cc:425-428), enabling the one-gather direct probe.
+        from ..ops.chaining import can_use_dense_direct
+        dd_r = can_use_dense_direct(np.asarray(self._rk), nb_r)
         if "Csr" in self.plans:
             self._run_join_plan(
                 "Csr", self._rk, self._sa, nb_r,
-                lambda k: build_chaining(k, nb_r),
+                chaining_build(nb_r, dd_r),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, True),
                 "chaining", "R", "S", has_unnest=False)
         if "CsrUU" in self.plans:
             self._run_join_plan(
                 "CsrUU", self._rk, self._sa, nb_r,
-                lambda k: build_chaining(k, nb_r),
+                chaining_build(nb_r),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
                 "chaining", "R", "S", has_unnest=False)
         if "Crs" in self.plans:
             self._run_join_plan(
                 "Crs", self._sa, self._rk, nb_s,
-                lambda k: build_chaining(k, nb_s),
+                chaining_build(nb_s),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
                 "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:
             self._run_join_plan(
                 "Nsr", self._rk, self._sa, nb_r,
-                lambda k: build_nested(k, nb_r),
+                nested_build(nb_r, dd_r),
                 lambda t, p: _nested_probe_strand(t, p, self.card_s),
                 "nested", "R", "S", has_unnest=True)
         if "Nrs" in self.plans:
             self._run_join_plan(
                 "Nrs", self._sa, self._rk, nb_s,
-                lambda k: build_nested(k, nb_s),
+                nested_build(nb_s),
                 lambda t, p: _nested_probe_strand(t, p, self.card_s),
                 "nested", "S", "R", has_unnest=True)
         if "NrsNU" in self.plans:
             self._run_join_plan(
                 "NrsNU", self._sa, self._rk, nb_s,
-                lambda k: build_nested(k, nb_s),
+                nested_build(nb_s),
                 lambda t, p: _nested_probe_strand_nounnest(t, p),
                 "nested", "S", "R", has_unnest=False)
         self.timers.stop("run")

@@ -9,6 +9,9 @@ from .chaining import (
     probe_chaining,
     materialize_chaining_join,
 )
+from .aggregate import AggregateResult, hash_aggregate
+from .filter import apply_predicate, compact
+from .sort import radix_partition, sort_by_key, sort_rows
 from .nested import (
     NestedTable,
     NestedBatch,
@@ -34,4 +37,11 @@ __all__ = [
     "build_nested",
     "probe_nested",
     "unnest",
+    "AggregateResult",
+    "hash_aggregate",
+    "apply_predicate",
+    "compact",
+    "radix_partition",
+    "sort_by_key",
+    "sort_rows",
 ]

@@ -160,6 +160,79 @@ def lookup(groups: "GroupIndex", probe_keys: jax.Array):
     return g, hit
 
 
+def merge_lookup(groups: "GroupIndex", probe_keys: jax.Array,
+                 mask: jax.Array | None = None):
+    """Sort-merge alternative to :func:`lookup` -- same ``(g, hit)`` contract.
+
+    TPU rationale: a binary search is ~log2(n_keys) *random gathers*, each of
+    which costs an HBM transaction per element (~10 ns/elem measured on v5e),
+    while sorts and scans stream at memory bandwidth (60 ms vs 3 s for 16.8M
+    probes).  So: concatenate the sorted distinct keys with the probe keys,
+    sort once (stable; directory entries precede equal probe keys), propagate
+    the last-seen directory entry with cumulative maxima, and scatter results
+    back to probe positions.
+    """
+    pk = probe_keys.astype(U32)
+    n = groups.ukey.shape[0]
+    P = pk.shape[0]
+
+    vals = jnp.concatenate([groups.ukey, pk])
+    # padding directory slots (group_len == 0) must not shadow a real trailing
+    # key of the same value: exclude them from the directory side entirely
+    dir_gid = jnp.where(groups.group_len > 0, jnp.arange(n, dtype=I32), -1)
+    gid_in = jnp.concatenate([dir_gid, jnp.full(P, -1, I32)])
+    row_in = jnp.concatenate([jnp.full(n, -1, I32), jnp.arange(P, dtype=I32)])
+    svals, sgid, srow = lax.sort((vals, gid_in, row_in), num_keys=1,
+                                 is_stable=True)
+
+    is_dir = sgid >= 0
+    g_prop = lax.cummax(sgid, 0)                       # last directory gid
+    k_prop = lax.cummax(jnp.where(is_dir, svals, 0), 0)  # last directory key
+    hit_s = (~is_dir) & (k_prop == svals) & (g_prop >= 0)
+
+    g = jnp.zeros(P, I32).at[jnp.maximum(srow, 0)].set(
+        jnp.where(is_dir, 0, jnp.maximum(g_prop, 0)), mode="drop")
+    hit = jnp.zeros(P, bool).at[jnp.maximum(srow, 0)].set(
+        jnp.where(is_dir, False, hit_s), mode="drop")
+    # padding directory slots carry group_len 0; exclude them like lookup()
+    hit = hit & (groups.group_len[g] > 0)
+    if mask is not None:
+        hit = hit & mask
+    return g, hit
+
+
+def lookup_auto(groups: "GroupIndex", probe_keys: jax.Array,
+                method: str = "auto"):
+    """Dispatch between binary-search and sort-merge lookup.
+
+    On TPU the sort-merge path wins whenever the directory or probe side is
+    large (random gathers cost ~10ns/element; sorts stream at bandwidth); on
+    CPU the binary search wins.  ``method``: "auto" | "search" | "merge".
+    """
+    if method == "auto":
+        method = "merge" if jax.default_backend() == "tpu" else "search"
+    if method == "merge":
+        return merge_lookup(groups, probe_keys)
+    return lookup(groups, probe_keys)
+
+
+def shrink_group_arrays(arrays: tuple, cap: int):
+    """Slice group-indexed arrays to a compile-time capacity.
+
+    Directory arrays are allocated at row count n (the worst-case distinct-key
+    count); once the true ``n_keys`` is known (one host sync after the build),
+    slicing to the next power of two >= n_keys shrinks every downstream probe
+    sort/search from O(n) to O(n_keys).  Valid groups occupy a prefix (group
+    ids are assigned in sorted-key order), so plain slices are exact.
+    """
+    return tuple(a[:cap] for a in arrays)
+
+
+def group_capacity(n_keys: int, n: int) -> int:
+    """Next power of two >= n_keys (bounded by n)."""
+    return min(max(1, 1 << (int(n_keys) - 1).bit_length()), n)
+
+
 def bucket_csr(bucket: jax.Array, num_buckets: int):
     """Histogram + exclusive prefix sum: CSR over hash-directory buckets."""
     blen = jnp.bincount(bucket, length=num_buckets).astype(I32)

@@ -42,7 +42,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from .hashing import murmur32
-from .layout import I32, U32, GroupIndex, expand, key_group_index, lookup
+from .layout import (I32, U32, GroupIndex, expand, group_capacity,
+                     key_group_index, lookup, lookup_auto,
+                     shrink_group_arrays)
 
 
 @jax.tree_util.register_dataclass
@@ -61,15 +63,26 @@ class NestedTable:
     bucket_main_len: jax.Array    # i32[nb]
     keys: jax.Array               # u32[n] original build key column
     num_buckets: int = field(metadata=dict(static=True), default=1)
+    # Adaptive dense-direct layout (see chaining.py): for permutation keys the
+    # group id IS the key and one packed gather yields (row | main_pos+1).
+    direct: jax.Array | None = None      # u32[n]
+    direct_shift: int = field(metadata=dict(static=True), default=0)
 
     @property
     def size(self):
         return self.keys.shape[0]
 
 
-@partial(jax.jit, static_argnames=("num_buckets",))
+def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
+    """Host-side validity check for the dense-direct nested layout."""
+    from .chaining import can_use_dense_direct as _chk
+    return _chk(keys_np, num_buckets)
+
+
+@partial(jax.jit, static_argnames=("num_buckets", "dense_direct"))
 def build_nested(keys: jax.Array, num_buckets: int,
-                 valid: jax.Array | None = None) -> NestedTable:
+                 valid: jax.Array | None = None,
+                 dense_direct: bool = False) -> NestedTable:
     """Build the 3D table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgNestJoinBuild::step``
@@ -107,12 +120,25 @@ def build_nested(keys: jax.Array, num_buckets: int,
     ]
     main_pos_by_group = jnp.zeros(n, I32).at[gid_sorted].set(pos_sorted)
 
+    direct = None
+    direct_shift = 0
+    if dense_direct:
+        # caller verified can_use_dense_direct(): keys are a permutation of
+        # [0, n), so ukey[i] == i and each group has exactly one row.
+        direct_shift = (n - 1).bit_length()
+        row = jnp.arange(n, dtype=I32)
+        pos1 = main_pos_by_group[keys.astype(I32)] + 1  # key == gid
+        packed = row.astype(U32) | (pos1.astype(U32) << jnp.uint32(direct_shift))
+        direct = jnp.zeros(n, U32).at[keys].set(packed)
+
     return NestedTable(
         groups=groups,
         main_pos_by_group=main_pos_by_group,
         bucket_main_len=bucket_main_len,
         keys=keys,
         num_buckets=num_buckets,
+        direct=direct,
+        direct_shift=direct_shift,
     )
 
 
@@ -132,12 +158,29 @@ class NestedBatch:
     group_len: jax.Array   # i32[P] (0 where no hit)
     num_matches: jax.Array  # i64[] probes with a match (probe op _count)
     num_cmps: jax.Array     # i64[] main-chain comparisons (numCmps)
+    direct_row: jax.Array | None = None  # i32[P] the single matching build row
+    #                                      (dense-direct tables: groups are
+    #                                       singletons, unnest is positional)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def shrink_nested(table: NestedTable, cap: int) -> NestedTable:
+    """Slice the main-node directory to ``cap`` entries (see shrink_chaining)."""
+    import dataclasses
+    g = table.groups
+    ukey, gs, gl, fr = shrink_group_arrays(
+        (g.ukey, g.group_start, g.group_len, g.first_row), cap)
+    groups = GroupIndex(ukey, gs, gl, g.group_rows, fr, g.gid_by_row, g.n_keys)
+    return dataclasses.replace(
+        table, groups=groups,
+        main_pos_by_group=table.main_pos_by_group[:cap])
 
 
 def probe_nested(
     table: NestedTable,
     probe_keys: jax.Array,
     mask: jax.Array | None = None,
+    method: str = "auto",
 ) -> NestedBatch:
     """Vectorized ``AlgNestJoinProbe`` (``algebra.hh:435-459``).
 
@@ -145,10 +188,42 @@ def probe_nested(
     duplicates-per-key: one binary search over distinct keys plus O(1) gathers.
     """
     pk = probe_keys.astype(U32)
+
+    if table.direct is not None:
+        # Dense-direct fast path: one gather; key == group id, groups are
+        # singletons (see build_nested).
+        n = table.direct.shape[0]
+        in_range = pk < n
+        hit = in_range if mask is None else (in_range & mask)
+        d = table.direct[jnp.minimum(pk, n - 1)]
+        row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
+        pos1 = (d >> jnp.uint32(table.direct_shift)).astype(I32)
+        cmps = jnp.where(hit, pos1, 0)
+        live_miss = ~in_range if mask is None else (mask & ~in_range)
+        n_miss = jnp.sum(live_miss.astype(I32))
+
+        def miss_cmps(_):
+            h = murmur32(pk)
+            b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+            return jnp.sum(jnp.where(live_miss, table.bucket_main_len[b], 0)
+                           .astype(jnp.int64))
+
+        cmps_miss = lax.cond(n_miss > 0, miss_cmps,
+                             lambda _: jnp.int64(0), None)
+        return NestedBatch(
+            probe_row=jnp.arange(pk.shape[0], dtype=I32),
+            g=jnp.minimum(pk, n - 1).astype(I32),
+            hit=hit,
+            group_len=hit.astype(I32),
+            num_matches=jnp.sum(hit.astype(jnp.int64)),
+            num_cmps=jnp.sum(cmps.astype(jnp.int64)) + cmps_miss,
+            direct_row=row,
+        )
+
     h = murmur32(pk)
     b = (h % jnp.uint32(table.num_buckets)).astype(I32)
 
-    g, hit = lookup(table.groups, pk)
+    g, hit = lookup_auto(table.groups, pk, method)
     if mask is not None:
         hit = hit & mask
 
@@ -176,6 +251,16 @@ def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
     ``(probe_row i32[out_size], build_row i32[out_size], valid bool[out_size],
     total i64[])`` where ``total`` is the unnest operator's ``_count``.
     """
+    P = nested.g.shape[0]
+    if nested.direct_row is not None and out_size == P:
+        # Singleton groups from a dense-direct table: positional unnest, no
+        # expansion machinery.
+        total = jnp.sum(nested.hit.astype(jnp.int64))
+        p = jnp.arange(P, dtype=I32)
+        probe_row = jnp.where(nested.hit, nested.probe_row, -1)
+        build_row = jnp.where(nested.hit, nested.direct_row, -1)
+        return probe_row, build_row, nested.hit, total
+
     p, within, valid, total = expand(nested.group_len, out_size)
     g = nested.g[p]
     build_row = table.groups.group_rows[table.groups.group_start[g] + within]

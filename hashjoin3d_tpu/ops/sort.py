@@ -1,0 +1,61 @@
+"""Sort and radix-partition primitives.
+
+On TPU, XLA's fused sort runs at near memory bandwidth (~60 ms for 16.8M u32 on
+v5e -- measured) and is the engine's workhorse: hash-table builds, merge
+lookups, and shuffles are all expressed through it.  This module wraps it as
+the engine's sort operator and provides the radix partition used by the
+distributed exchange (``parallel/shuffle.py``) as a local operator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hashing import murmur32
+from .layout import I32, U32, bucket_csr
+
+
+@jax.jit
+def sort_by_key(keys: jax.Array, *payloads: jax.Array):
+    """Stable sort of payload columns by a key column (ascending).
+
+    Returns ``(sorted_keys, *sorted_payloads)``.
+    """
+    out = lax.sort((keys, *payloads), num_keys=1, is_stable=True)
+    return out
+
+
+@jax.jit
+def sort_rows(keys: jax.Array):
+    """Argsort-style: returns (sorted_keys, row_ids) -- a permutation handle."""
+    n = keys.shape[0]
+    return lax.sort((keys, jnp.arange(n, dtype=I32)), num_keys=1,
+                    is_stable=True)
+
+
+@partial(jax.jit, static_argnames=("num_partitions", "by_hash"))
+def radix_partition(keys: jax.Array, num_partitions: int,
+                    *payloads: jax.Array, by_hash: bool = True,
+                    valid: jax.Array | None = None):
+    """Partition rows by ``murmur32(key) % p`` (or ``key % p``).
+
+    Returns ``(part_id_sorted, keys_sorted, payloads_sorted..., part_start,
+    part_len)`` -- rows grouped by partition (one stable sort), with the CSR
+    over partitions.  This is the single-chip analogue of the distributed
+    hash-partition exchange and the building block of radix joins.
+    """
+    k = keys.astype(U32)
+    p = (murmur32(k) if by_hash else k) % jnp.uint32(num_partitions)
+    p = p.astype(I32)
+    if valid is not None:
+        p = jnp.where(valid, p, num_partitions)
+    sorted_ops = lax.sort((p, k, *payloads), num_keys=1, is_stable=True)
+    psort = sorted_ops[0]
+    blen_ext = jnp.bincount(psort, length=num_partitions + 1).astype(I32)
+    part_len = blen_ext[:num_partitions]
+    part_start = (jnp.cumsum(part_len) - part_len).astype(I32)
+    return (*sorted_ops, part_start, part_len)

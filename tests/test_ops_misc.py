@@ -1,0 +1,80 @@
+"""Tests for the auxiliary operator set: hash aggregate, sort/partition, filter."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hashjoin3d_tpu.ops.aggregate import hash_aggregate
+from hashjoin3d_tpu.ops.filter import apply_predicate, compact
+from hashjoin3d_tpu.ops.sort import radix_partition, sort_by_key, sort_rows
+from hashjoin3d_tpu.ops.hashing import murmur32_np
+
+
+def test_hash_aggregate_vs_numpy():
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 30, 500, dtype=np.uint32)
+    vals = rng.integers(0, 1000, 500, dtype=np.int32)
+    res = hash_aggregate(keys, {"v": jnp.asarray(vals)})
+    nk = int(res.n_keys)
+    ukey = np.asarray(res.keys)[:nk]
+    got = {
+        int(ukey[g]): (int(res.count[g]), int(res.sums["v"][g]),
+                       int(res.mins["v"][g]), int(res.maxs["v"][g]))
+        for g in range(nk)
+    }
+    want = {}
+    for k in np.unique(keys):
+        v = vals[keys == k]
+        want[int(k)] = (len(v), int(v.sum()), int(v.min()), int(v.max()))
+    assert got == want
+
+
+def test_hash_aggregate_masked():
+    keys = np.array([1, 1, 2, 2], np.uint32)
+    vals = jnp.asarray(np.array([10, 20, 30, 40], np.int32))
+    mask = jnp.asarray(np.array([True, False, True, True]))
+    res = hash_aggregate(keys, {"v": vals}, mask=mask)
+    nk = int(res.n_keys)
+    got = {int(np.asarray(res.keys)[g]): int(res.sums["v"][g])
+           for g in range(nk)}
+    assert got == {1: 10, 2: 70}
+
+
+def test_sorts():
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 1 << 30, 1000, dtype=np.uint32)
+    pay = rng.integers(0, 100, 1000, dtype=np.int32)
+    sk, sp = sort_by_key(keys, jnp.asarray(pay))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), pay[order])
+    sk2, rows = sort_rows(keys)
+    np.testing.assert_array_equal(np.asarray(rows), order)
+
+
+def test_radix_partition():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1000, 800, dtype=np.uint32)
+    rows = jnp.arange(800, dtype=jnp.int32)
+    p, k, r, start, length = radix_partition(keys, 16, rows)
+    p, k, r = np.asarray(p), np.asarray(k), np.asarray(r)
+    start, length = np.asarray(start), np.asarray(length)
+    want_p = murmur32_np(keys) % np.uint32(16)
+    assert length.sum() == 800
+    for part in range(16):
+        seg = k[start[part]:start[part] + length[part]]
+        want = np.sort(keys[want_p == part])
+        np.testing.assert_array_equal(np.sort(seg), want)
+    # payload consistency: the key at each row id matches
+    np.testing.assert_array_equal(keys[r], k)
+
+
+def test_filter_and_compact():
+    cols = {"a": jnp.arange(10, dtype=jnp.uint32),
+            "b": jnp.arange(10, dtype=jnp.int32) * 10}
+    mask = apply_predicate(lambda c: c["b"] < 45, cols)
+    packed, rows, count = compact(mask, cols, 8)
+    assert int(count) == 5
+    np.testing.assert_array_equal(np.asarray(rows)[:5], np.arange(5))
+    np.testing.assert_array_equal(np.asarray(packed["b"])[:5],
+                                  np.arange(5) * 10)
+    assert np.asarray(rows)[5] == -1

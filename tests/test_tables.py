@@ -196,3 +196,29 @@ def test_masked_build_maps_rows_correctly():
                    zip(np.asarray(prow), np.asarray(brow), np.asarray(v)) if ok)
     # key 5 -> rows 0,2 (row 4 masked); key 7 -> row 3
     assert pairs == [(0, 0), (0, 2), (2, 3)]
+
+
+def test_merge_lookup_equals_binary_search():
+    from hashjoin3d_tpu.ops.layout import key_group_index, lookup, merge_lookup
+    rng = np.random.default_rng(9)
+    for bk, pk in [
+        (rng.integers(0, 60, 300, dtype=np.uint32),
+         rng.integers(0, 90, 500, dtype=np.uint32)),
+        (np.array([0xFFFFFFFF, 5, 5], np.uint32),
+         np.array([0xFFFFFFFF, 5, 6], np.uint32)),
+        (np.array([7], np.uint32), np.array([7, 8], np.uint32)),
+    ]:
+        groups = key_group_index(bk)
+        g1, h1 = lookup(groups, pk)
+        g2, h2 = merge_lookup(groups, pk)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        # where hit, group ids must agree
+        hm = np.asarray(h1)
+        np.testing.assert_array_equal(np.asarray(g1)[hm], np.asarray(g2)[hm])
+        # with a probe mask
+        mask = rng.random(len(pk)) < 0.5
+        _, h3 = merge_lookup(groups, pk, mask=jnp.asarray(mask))
+        np.testing.assert_array_equal(np.asarray(h3), np.asarray(h1) & mask)
+
+
+import jax.numpy as jnp  # noqa: E402
