@@ -25,7 +25,7 @@ def main():
     import jax
 
     from hashjoin3d_tpu.models.exp1 import _chaining_probe_strand
-    from hashjoin3d_tpu.ops import build_chaining
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
     from hashjoin3d_tpu.ops.chaining import can_use_dense_direct
     from hashjoin3d_tpu.utils import exp1_data
     from hashjoin3d_tpu.utils.measure import repeat_mintime
@@ -37,7 +37,7 @@ def main():
     sa = jax.device_put(sa)
     jax.block_until_ready((rk, sa))
 
-    table = build_chaining(rk, 1 << LOG2_R, dense_direct=dd)
+    table = build_chaining_host(rk, 1 << LOG2_R, dense_direct=dd)
     jax.block_until_ready(table)
 
     # warm-up compile outside the timed region

@@ -281,22 +281,17 @@ class Experiment1:
         nb_r = max(self.card_r // self.b, 1)      # build on key side: #dv = |R|
         nb_s = max(self.num_dv_sa // self.b, 1)   # build on FK side: #dv(S.a)
 
-        # Build wrappers that compact the distinct-key directory once the true
-        # n_keys is known (one host sync inside the timed build strand) -- the
-        # probe then sorts/searches O(#distinct) instead of O(#rows).
+        # Two-phase compacted host builds (ops.chaining/nested.build_*_host):
+        # phase 1 sorts + reads n_keys (one host sync inside the timed build
+        # strand), phase 2 scatters straight into a compacted directory.
+        from ..ops.chaining import build_chaining_host
+        from ..ops.nested import build_nested_host
+
         def chaining_build(nb, dense=False):
-            def f(keys):
-                t = build_chaining(keys, nb, dense_direct=dense)
-                return shrink_chaining(
-                    t, group_capacity(int(t.groups.n_keys), keys.shape[0]))
-            return f
+            return lambda keys: build_chaining_host(keys, nb, dense_direct=dense)
 
         def nested_build(nb, dense=False):
-            def f(keys):
-                t = build_nested(keys, nb, dense_direct=dense)
-                return shrink_nested(
-                    t, group_capacity(int(t.groups.n_keys), keys.shape[0]))
-            return f
+            return lambda keys: build_nested_host(keys, nb, dense_direct=dense)
         # Adaptive physical layout: R.k is a dense permutation by construction
         # (main_experiment1.cc:425-428), enabling the one-gather direct probe.
         from ..ops.chaining import can_use_dense_direct

@@ -258,18 +258,13 @@ class Experiment4:
     def _run_plan(self, name):
         nested = name == "Ndu"
         num_dv_fk = self.num_fk_common + self.num_fk_exclusive
-        from ..ops.chaining import shrink_chaining
-        from ..ops.nested import shrink_nested
-        from ..ops.layout import group_capacity
+        from ..ops.chaining import build_chaining_host
+        from ..ops.nested import build_nested_host
 
         def build_fn(keys, nb):
             if nested:
-                t = build_nested(keys, nb)
-                return shrink_nested(
-                    t, group_capacity(int(t.groups.n_keys), keys.shape[0]))
-            t = build_chaining(keys, nb)
-            return shrink_chaining(
-                t, group_capacity(int(t.groups.n_keys), keys.shape[0]))
+                return build_nested_host(keys, nb)
+            return build_chaining_host(keys, nb)
         if nested:
             out1 = self.calc_join_card2() // max(self.mult_alpha, 1)
             out1 = max(out1, 1)

@@ -185,6 +185,83 @@ class ChainProbeResult:
     from_direct: bool = field(metadata=dict(static=True), default=False)
 
 
+def build_chaining_host(keys: jax.Array, num_buckets: int,
+                        dense_direct: bool = False) -> ChainingTable:
+    """Two-phase host-orchestrated build with a compacted directory.
+
+    See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure;
+    additionally derives the early-exit unique index (group_min_pos /
+    group_chain_first) from compact-sized gathers instead of n-sized scatters.
+    """
+    from .layout import group_capacity, sort_with_rows
+
+    skey, srow, n_keys = sort_with_rows(keys)
+    cap = group_capacity(int(n_keys), keys.shape[0])
+    return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
+                                  dense_direct)
+
+
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
+def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
+    from .layout import compact_group_index, run_boundaries
+
+    keys = keys.astype(U32)
+    n = keys.shape[0]
+    row = jnp.arange(n, dtype=I32)
+    groups = compact_group_index(keys, skey, srow, cap)
+
+    h = murmur32(keys)
+    b = (h % jnp.uint32(num_buckets)).astype(I32)
+    blen_ext = jnp.bincount(b, length=num_buckets + 1).astype(I32)
+    bucket_len = blen_ext[:num_buckets]
+    bucket_start = (jnp.cumsum(bucket_len) - bucket_len).astype(I32)
+
+    # chain positions via bucket-run scans (gather-free)
+    b_sorted, srow_b = lax.sort((b, row), num_keys=1, is_stable=True)
+    _, _, run_start_b, run_len_b = run_boundaries(
+        b_sorted.astype(U32), jnp.int32(n))
+    rank = jnp.arange(n, dtype=I32) - run_start_b
+    pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
+    pos_by_row = jnp.zeros(n, I32).at[srow_b].set(pos_sorted)
+
+    # early-exit unique index from compact-sized gathers: the first match in
+    # chain order is the bucket head (pos 0) if the group owns it, else the
+    # last-inserted duplicate (max row id; LIFO head-insertion).
+    gs = jnp.minimum(groups.group_start + jnp.maximum(groups.group_len - 1, 0),
+                     n - 1)
+    max_row = srow[gs]  # rows ascend within a key run
+    pos_first = pos_by_row[jnp.minimum(groups.first_row, n - 1)]
+    pos_max = pos_by_row[jnp.minimum(max_row, n - 1)]
+    head = pos_first == 0
+    group_min_pos = jnp.where(groups.group_len > 0,
+                              jnp.where(head, 0, pos_max), n)
+    group_chain_first = jnp.where(groups.group_len > 0,
+                                  jnp.where(head, groups.first_row, max_row),
+                                  -1)
+
+    direct = None
+    direct_shift = 0
+    if dense_direct:
+        # permutation keys: cap == n, ukey[g] == g, singleton groups
+        direct_shift = (n - 1).bit_length()
+        pos1 = group_min_pos + 1
+        direct = (groups.first_row.astype(U32)
+                  | (pos1.astype(U32) << jnp.uint32(direct_shift)))
+
+    return ChainingTable(
+        groups=groups,
+        bucket_start=bucket_start,
+        bucket_len=bucket_len,
+        pos_by_row=pos_by_row,
+        group_min_pos=group_min_pos,
+        group_chain_first=group_chain_first,
+        keys=keys,
+        num_buckets=num_buckets,
+        direct=direct,
+        direct_shift=direct_shift,
+    )
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def shrink_chaining(table: ChainingTable, cap: int) -> ChainingTable:
     """Slice the directory (group-indexed arrays) to ``cap`` entries.
@@ -321,9 +398,30 @@ def materialize_chaining_join(
         valid = jnp.arange(out_size, dtype=I32) < total
         return probe_row, build_row, valid, total
 
-    p, within, valid, total = expand(probe.match_count, out_size)
-    g = probe.g[p]
-    build_row = table.groups.group_rows[table.groups.group_start[g] + within]
-    probe_row = jnp.where(valid, p, -1)
-    build_row = jnp.where(valid, build_row, -1)
-    return probe_row, build_row, valid, total.astype(jnp.int64)
+    P = probe.g.shape[0]
+    total = jnp.sum(probe.match_count.astype(jnp.int64))
+
+    def expanded(_):
+        p, within, valid, tot = expand(probe.match_count, out_size)
+        g = probe.g[p]
+        build_row = table.groups.group_rows[
+            table.groups.group_start[g] + within]
+        return (jnp.where(valid, p, -1), jnp.where(valid, build_row, -1),
+                valid)
+
+    if out_size == P:
+        # Runtime-adaptive: when no probe has more than one match (e.g. the
+        # build side happens to be unique but the plan did not promise it,
+        # plan CsrUU), emit positionally and skip the expansion machinery.
+        def positional(_):
+            hit1 = probe.match_count > 0
+            brow = table.groups.group_rows[table.groups.group_start[probe.g]]
+            p = jnp.arange(P, dtype=I32)
+            return (jnp.where(hit1, p, -1), jnp.where(hit1, brow, -1), hit1)
+
+        prow, brow, valid = lax.cond(
+            jnp.max(probe.match_count) <= 1, positional, expanded, None)
+        return prow, brow, valid, total
+
+    prow, brow, valid = expanded(None)
+    return prow, brow, valid, total

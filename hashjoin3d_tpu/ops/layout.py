@@ -26,6 +26,7 @@ number of distinct keys) and padded; ``n_keys`` is a traced scalar.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +141,91 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
     )
 
 
+def run_boundaries(skey: jax.Array, n_valid):
+    """Run-length structure of a sorted key column, gather-free.
+
+    Returns ``(is_first, gid, run_start, run_len)`` per sorted element, all
+    computed with scans (cumsum / cummax / reverse-cummin) -- on TPU a scan
+    streams at memory bandwidth while an n-element random gather costs ~10ns
+    per element.
+    """
+    n = skey.shape[0]
+    i = jnp.arange(n, dtype=I32)
+    vs = i < n_valid
+    is_first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_first = is_first & vs
+    gid = jnp.cumsum(is_first.astype(I32)) - 1
+    run_start = lax.cummax(jnp.where(is_first, i, -1), 0)
+    # start of the NEXT run, filled from the right
+    nxt = jnp.concatenate([jnp.where(is_first, i, n)[1:], jnp.array([n], I32)])
+    next_start = jnp.minimum(lax.cummin(nxt, 0, reverse=True), n_valid)
+    run_len = jnp.where(vs, next_start - run_start, 0)
+    return is_first, gid, run_start, run_len
+
+
+@partial(jax.jit, static_argnames=("cap", "with_gid_by_row"))
+def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
+                        cap: int, with_gid_by_row: bool = False) -> GroupIndex:
+    """Build a GroupIndex with *compacted* directory arrays (length ``cap``).
+
+    Second phase of the two-phase host build: the caller sorted the keys
+    (phase 1), read ``n_keys`` on the host, and picked a static ``cap``.  All
+    group attributes scatter into the compact directory in ONE stacked write;
+    large random gathers are avoided entirely (boundaries come from scans).
+    """
+    n = keys.shape[0]
+    i = jnp.arange(n, dtype=I32)
+    is_first, gid, run_start, run_len = run_boundaries(skey, jnp.int32(n))
+
+    # sub-chain emission order: [first, rest reversed] (ht_nested.hh:398-412)
+    p = i - run_start
+    q = jnp.where(p == 0, 0, run_len - p)
+    group_rows = jnp.zeros(n, I32).at[run_start + q].set(srow)
+
+    # one stacked scatter builds the whole compact directory
+    tgt = jnp.where(is_first, gid, cap)
+    vals = jnp.stack(
+        [skey.view(I32), i, run_len, srow], axis=1)  # (n, 4)
+    dir4 = jnp.full((cap + 1, 4), 0, I32).at[tgt].set(vals, mode="drop")
+    ukey = dir4[:cap, 0].view(U32)
+    group_start = dir4[:cap, 1]
+    group_len = dir4[:cap, 2]
+    first_row = dir4[:cap, 3]
+    pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(gid[-1] + 1, cap)
+    ukey = jnp.where(pad, UKEY_PAD, ukey)
+    first_row = jnp.where(pad, n, first_row)
+    group_start = jnp.where(pad, n, group_start)
+    group_len = jnp.where(pad, 0, group_len)
+
+    if with_gid_by_row:
+        gid_by_row = jnp.zeros(n, I32).at[srow].set(gid)
+    else:
+        gid_by_row = jnp.zeros(0, I32)  # not materialized (saves one scatter)
+
+    return GroupIndex(
+        ukey=ukey,
+        group_start=group_start,
+        group_len=group_len,
+        group_rows=group_rows,
+        first_row=first_row,
+        gid_by_row=gid_by_row,
+        n_keys=jnp.maximum(gid[-1] + 1, 0).astype(I32),
+    )
+
+
+@jax.jit
+def sort_with_rows(keys: jax.Array):
+    """Phase 1 of the host build: sort keys with row payload + count distinct."""
+    keys = keys.astype(U32)
+    n = keys.shape[0]
+    skey, srow = lax.sort((keys, jnp.arange(n, dtype=I32)), num_keys=1,
+                          is_stable=True)
+    n_keys = jnp.sum(
+        jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+        .astype(I32))
+    return skey, srow, n_keys
+
+
 def lookup(groups: "GroupIndex", probe_keys: jax.Array):
     """Find each probe key's group id in a GroupIndex.
 
@@ -210,7 +296,7 @@ def lookup_auto(groups: "GroupIndex", probe_keys: jax.Array,
     CPU the binary search wins.  ``method``: "auto" | "search" | "merge".
     """
     if method == "auto":
-        method = "merge" if jax.default_backend() == "tpu" else "search"
+        method = "search" if jax.default_backend() == "cpu" else "merge"
     if method == "merge":
         return merge_lookup(groups, probe_keys)
     return lookup(groups, probe_keys)
@@ -245,18 +331,31 @@ def expand(counts: jax.Array, out_size: int):
 
     Maps output slot j to (segment p, position-within-segment, valid).  This is
     the vectorized unnest (``algebra.hh:510-541``): instead of a per-tuple
-    while-loop over SubNodes, a prefix sum + binary search materializes every
-    output row in parallel.
+    while-loop over SubNodes, every output row materializes in parallel.
+
+    TPU-native formulation: scatter each non-empty segment's (index, offset) at
+    its first output slot, then fill forward with cumulative maxima -- two
+    segment-sized scatters + two output-sized scans, all bandwidth-bound.  (The
+    binary-search formulation costs ~log2(out) random gathers per output slot;
+    gathers are ~10 ns/elem on v5e.)
 
     Returns ``(p, within, valid, total)``.
     """
     counts = counts.astype(I32)
+    P = counts.shape[0]
     cum = jnp.cumsum(counts)
-    total = cum[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    total = cum[-1] if P > 0 else jnp.int32(0)
+    off = (cum - counts).astype(I32)
+
+    is_head = counts > 0
+    tgt = jnp.where(is_head, off, out_size)  # empty segments scatter off-end
+    head_p = jnp.full(out_size, -1, I32).at[tgt].set(
+        jnp.arange(P, dtype=I32), mode="drop")
+    head_off = jnp.full(out_size, -1, I32).at[tgt].set(off, mode="drop")
+
+    p = lax.cummax(head_p, 0)
+    start = lax.cummax(head_off, 0)
     j = jnp.arange(out_size, dtype=I32)
-    p = jnp.searchsorted(cum, j, side="right").astype(I32)
-    p = jnp.minimum(p, counts.shape[0] - 1)
-    start = cum[p] - counts[p]
     within = j - start
-    valid = j < total
-    return p, within, valid, total
+    valid = (j < total) & (p >= 0)
+    return jnp.maximum(p, 0), within, valid, total

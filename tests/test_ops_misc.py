@@ -78,3 +78,19 @@ def test_filter_and_compact():
     np.testing.assert_array_equal(np.asarray(packed["b"])[:5],
                                   np.arange(5) * 10)
     assert np.asarray(rows)[5] == -1
+
+
+def test_checked_catches_oob():
+    import jax
+    from hashjoin3d_tpu.utils.tracing import checked, DeviceTimer
+
+    def bad(i):
+        return jnp.arange(4)[i]
+
+    err, _ = checked(jax.jit(lambda i: jnp.arange(4).at[i].get(
+        mode="promise_in_bounds")))(jnp.int32(2))
+    err, out = checked(bad)(jnp.int32(2))
+    assert int(out) == 2
+    t = DeviceTimer()
+    t(jax.jit(lambda x: x + 1), jnp.ones(8))
+    assert t.calls == 1 and t.total > 0

@@ -97,3 +97,32 @@ def test_dist_overflow_detected(mesh):
     out = step(jax.device_put(bk, shard_axis(mesh)),
                jax.device_put(pk, shard_axis(mesh)))
     assert int(out["overflow"]) > 0
+
+
+def test_broadcast_join_matches_oracle(mesh):
+    from hashjoin3d_tpu.parallel.skew import detect_skew, dist_broadcast_join
+    rng = np.random.default_rng(21)
+    # heavy skew: a single hot key dominates
+    bk = np.concatenate([np.full(64, 5, np.uint32),
+                         rng.integers(0, 100, 192, dtype=np.uint32)]).astype(np.uint32)
+    rng.shuffle(bk)
+    pk = np.concatenate([np.full(512, 5, np.uint32),
+                         rng.integers(0, 120, 512, dtype=np.uint32)]).astype(np.uint32)
+    rng.shuffle(pk)
+
+    rep = detect_skew(pk, 8)
+    assert rep["strategy"] == "broadcast"
+    assert rep["top_key_fraction"] > 0.4
+
+    from hashjoin3d_tpu.parallel import shard_axis
+    sh = shard_axis(mesh)
+    step = dist_broadcast_join(mesh, num_buckets=64,
+                               out_capacity=16 * 1024, nested=True)
+    out = step(jax.device_put(bk, sh), jax.device_put(pk, sh))
+    assert _pairs(out) == _oracle_pairs(bk, pk)
+
+
+def test_suggest_capacity():
+    from hashjoin3d_tpu.parallel.skew import suggest_capacity
+    assert suggest_capacity(1024, 8, 1.0) >= 1024 // 8
+    assert suggest_capacity(1024, 8, 4.0) > suggest_capacity(1024, 8, 1.0)

@@ -222,3 +222,68 @@ def test_merge_lookup_equals_binary_search():
 
 
 import jax.numpy as jnp  # noqa: E402
+
+
+def test_host_builds_equal_padded_builds():
+    """Two-phase compacted host builds == pure-jit padded builds."""
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+    from hashjoin3d_tpu.ops.stats import chaining_statistics, nested_statistics
+
+    rng = np.random.default_rng(17)
+    for bk, pk, nb in [
+        (rng.integers(0, 50, 300, dtype=np.uint32),
+         rng.integers(0, 80, 500, dtype=np.uint32), 16),
+        (np.full(64, 9, np.uint32), np.array([9, 1], np.uint32), 4),
+        (rng.permutation(128).astype(np.uint32),
+         rng.integers(0, 160, 256, dtype=np.uint32), 128),
+    ]:
+        tp = build_nested(bk, nb)
+        th = build_nested_host(bk, nb)
+        rp = probe_nested(tp, pk, method="search")
+        rh = probe_nested(th, pk, method="search")
+        assert int(rp.num_matches) == int(rh.num_matches)
+        assert int(rp.num_cmps) == int(rh.num_cmps)
+        out = 4 * len(pk)
+        a = unnest(tp, rp, out)
+        b = unnest(th, rh, out)
+        pa = sorted((int(x), int(y)) for x, y, v in zip(*map(np.asarray, a[:3])) if v)
+        pb = sorted((int(x), int(y)) for x, y, v in zip(*map(np.asarray, b[:3])) if v)
+        assert pa == pb and int(a[3]) == int(b[3])
+        sp, sh_ = nested_statistics(tp), nested_statistics(th)
+        assert sp.to_csv_fields() == sh_.to_csv_fields()
+
+        cp = build_chaining(bk, nb)
+        ch = build_chaining_host(bk, nb)
+        for unique in (False, True):
+            r1 = probe_chaining(cp, pk, unique=unique, method="search")
+            r2 = probe_chaining(ch, pk, unique=unique, method="search")
+            assert int(r1.num_matches) == int(r2.num_matches)
+            assert int(r1.num_cmps) == int(r2.num_cmps), (unique, nb)
+            m1 = materialize_chaining_join(cp, r1, len(pk) * 4, unique=unique)
+            m2 = materialize_chaining_join(ch, r2, len(pk) * 4, unique=unique)
+            q1 = sorted((int(x), int(y)) for x, y, v in zip(*map(np.asarray, m1[:3])) if v)
+            q2 = sorted((int(x), int(y)) for x, y, v in zip(*map(np.asarray, m2[:3])) if v)
+            assert q1 == q2
+        s1, s2 = chaining_statistics(cp), chaining_statistics(ch)
+        assert s1.to_csv_fields() == s2.to_csv_fields()
+
+
+def test_host_build_dense_direct_matches():
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+    rng = np.random.default_rng(23)
+    perm = rng.permutation(256).astype(np.uint32)
+    pk = rng.integers(0, 300, 512, dtype=np.uint32)
+    t1 = build_chaining(perm, 256, dense_direct=True)
+    t2 = build_chaining_host(perm, 256, dense_direct=True)
+    r1 = probe_chaining(t1, pk, unique=True)
+    r2 = probe_chaining(t2, pk, unique=True)
+    assert int(r1.num_matches) == int(r2.num_matches)
+    assert int(r1.num_cmps) == int(r2.num_cmps)
+    n1 = build_nested(perm, 256, dense_direct=True)
+    n2 = build_nested_host(perm, 256, dense_direct=True)
+    q1 = probe_nested(n1, pk)
+    q2 = probe_nested(n2, pk)
+    assert int(q1.num_cmps) == int(q2.num_cmps)
+    np.testing.assert_array_equal(np.asarray(n1.direct), np.asarray(n2.direct))
