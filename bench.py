@@ -28,7 +28,7 @@ def main():
     from hashjoin3d_tpu.ops.chaining import build_chaining_host
     from hashjoin3d_tpu.ops.chaining import can_use_dense_direct
     from hashjoin3d_tpu.utils import exp1_data
-    from hashjoin3d_tpu.utils.measure import repeat_mintime
+    from hashjoin3d_tpu.utils.measure import fence, repeat_mintime
 
     card_s = 1 << LOG2_S
     rk, sa, _ = exp1_data(LOG2_R, LOG2_S, False, 0)
@@ -38,15 +38,15 @@ def main():
     jax.block_until_ready((rk, sa))
 
     table = build_chaining_host(rk, 1 << LOG2_R, dense_direct=dd)
-    jax.block_until_ready(table)
+    fence(table)
 
     # warm-up compile outside the timed region
     out = _chaining_probe_strand(table, sa, card_s, True)
-    jax.block_until_ready(out)
+    fence(out)
     assert int(out["c_htProbe"]) == card_s, int(out["c_htProbe"])
 
     def once():
-        jax.block_until_ready(_chaining_probe_strand(table, sa, card_s, True))
+        fence(_chaining_probe_strand(table, sa, card_s, True))
 
     total_s, reps = repeat_mintime(0.3, once, min_repeat=8)
     per_rep = total_s / reps

@@ -40,7 +40,7 @@ from ..ops import (
 from ..ops.layout import I32, expand
 from ..utils import exp4_data
 from ..utils.csv_writer import CSVWriter
-from ..utils.measure import Timers, repeat_mintime
+from ..utils.measure import Timers, fence, repeat_mintime
 
 PLAN_NAMES = ["Ndu", "Chj"]
 
@@ -281,19 +281,26 @@ class Experiment4:
         def once():
             t0 = time.perf_counter()
             tbl_s = build_fn(self._sa, num_dv_fk)
-            jax.block_until_ready(tbl_s)
+            fence(tbl_s)
             t1 = time.perf_counter()
             tbl_t = build_fn(self._ta, num_dv_fk)
-            jax.block_until_ready(tbl_t)
+            fence(tbl_t)
             t2 = time.perf_counter()
             out = probe_fn(tbl_s, tbl_t, self._rk)
-            jax.block_until_ready(out)
+            fence(out)
             t3 = time.perf_counter()
             durs["bs"] += t1 - t0
             durs["bt"] += t2 - t1
             durs["probe"] += t3 - t2
             durs["total"] += t3 - t0
             state["out"] = out
+
+        # compile outside the timed region (see exp1)
+        ws = build_fn(self._sa, num_dv_fk)
+        wt = build_fn(self._ta, num_dv_fk)
+        fence(ws)
+        fence(wt)
+        fence(probe_fn(ws, wt, self._rk))
 
         _, reps = repeat_mintime(self.min_runtime_s, once,
                                  min_repeat=self.min_repeat)

@@ -16,6 +16,39 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import jax
+
+_touch_cache = {}
+
+
+def fence(tree) -> None:
+    """Hard synchronization point: wait until every array in ``tree`` exists.
+
+    ``jax.block_until_ready`` is a no-op on some remote backends (the axon
+    TPU tunnel in this environment) -- only an actual device->host read
+    synchronizes.  This reads ONE scalar derived from the first element of
+    every leaf through a tiny cached jit, which cannot complete before the
+    producing computation has.  Cost in steady state: one RPC round trip.
+    """
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype") and getattr(l, "size", 0) > 0]
+    if not leaves:
+        return
+    key = tuple((l.shape, str(l.dtype)) for l in leaves)
+    fn = _touch_cache.get(key)
+    if fn is None:
+        def _touch(*ls):
+            acc = jnp.float32(0)
+            for l in ls:
+                acc = acc + l.reshape(-1)[0].astype(jnp.float32)
+            return acc
+
+        fn = jax.jit(_touch)
+        _touch_cache[key] = fn
+    jax.device_get(fn(*leaves))
+
 
 def repeat_mintime(min_time_s: float, func, teardown=lambda: None,
                    teardown_after_last: bool = False, min_repeat: int = 1):
