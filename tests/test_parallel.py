@@ -126,3 +126,50 @@ def test_suggest_capacity():
     from hashjoin3d_tpu.parallel.skew import suggest_capacity
     assert suggest_capacity(1024, 8, 1.0) >= 1024 // 8
     assert suggest_capacity(1024, 8, 4.0) > suggest_capacity(1024, 8, 1.0)
+
+
+def test_dist_filter_join_aggregate(mesh):
+    """Full pipeline query: filter -> 3D join -> aggregate (BASELINE config 5)."""
+    from hashjoin3d_tpu.parallel.pipeline import dist_filter_join_aggregate
+    from hashjoin3d_tpu.parallel import shard_axis
+
+    rng = np.random.default_rng(33)
+    n_b, n_p = 512, 1024
+    bk = rng.integers(0, 120, n_b, dtype=np.uint32)
+    bv = rng.integers(0, 50, n_b, dtype=np.int32)
+    pk = rng.integers(0, 150, n_p, dtype=np.uint32)
+    pp = rng.integers(0, 100, n_p, dtype=np.int32)  # payload for the filter
+
+    step = dist_filter_join_aggregate(
+        mesh, num_buckets_per_shard=32, build_capacity=n_b,
+        probe_capacity=n_p, out_capacity=8 * n_p,
+        predicate=lambda payload: payload < 60)
+
+    sh = shard_axis(mesh)
+    out = step(jax.device_put(bk, sh), jax.device_put(bv, sh),
+               jax.device_put(pk, sh), jax.device_put(pp, sh))
+    assert int(out["overflow"]) == 0
+
+    # numpy oracle
+    keep = pp < 60
+    joined = [(int(k), int(bv[b]))
+              for k, ok in zip(pk, keep) if ok
+              for b in np.nonzero(bk == k)[0]]
+    assert int(out["num_filtered"]) == int(keep.sum())
+    assert int(out["num_joined"]) == len(joined)
+    assert int(out["sum_v"]) == sum(v for _, v in joined)
+
+    # per-key aggregates across shards == oracle group sums
+    want = {}
+    for k, v in joined:
+        c, s = want.get(k, (0, 0))
+        want[k] = (c + 1, s + v)
+    gk = np.asarray(out["group_keys"])
+    gc = np.asarray(out["group_count"])
+    gs = np.asarray(out["group_sum"])
+    got = {}
+    for k, c, s in zip(gk, gc, gs):
+        if c > 0:
+            assert int(k) not in got, "key must live on exactly one shard"
+            got[int(k)] = (int(c), int(s))
+    assert got == want
