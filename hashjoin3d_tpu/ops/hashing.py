@@ -136,3 +136,57 @@ def larson_np(s: bytes, salt: int = 0) -> int:
 def multiplicative32(x, a: int, b: int):
     x = jnp.asarray(x, jnp.uint32)
     return jnp.uint32(a) * x + jnp.uint32(b)
+
+
+# -- fibonacci hash, 16/64-bit variants (reference: util/hasht.hh:22-47) ------
+
+def fibhash16_np(x, n):
+    x = np.asarray(x, np.uint16).astype(np.float64)
+    b = 40503.0
+    a = b / float(1 << 16)
+    z = a * x
+    return np.floor(n * (z - np.floor(z))).astype(np.uint16)
+
+
+def fibhash64_np(x, n):
+    x = np.asarray(x, np.uint64).astype(np.float64)
+    b = 11400714819323198485.0
+    a = b / float(1 << 64)
+    z = a * x
+    return np.floor(n * (z - np.floor(z))).astype(np.uint64)
+
+
+# -- CRC32-C (Castagnoli), software table implementation -----------------------
+# The reference's HashCrc32 family uses SSE4.2 _mm_crc32_u32
+# (util/hasht.hh:115-262); TPUs have no CRC unit, so provide the standard
+# table-driven software CRC32-C for host-side parity and as a secondary
+# engine hash.
+
+_CRC32C_POLY = 0x82F63B78
+_crc32c_table = None
+
+
+def _crc32c_build_table():
+    global _crc32c_table
+    t = np.zeros(256, np.uint32)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = np.uint32((int(c) >> 1) ^ (_CRC32C_POLY if int(c) & 1 else 0))
+        t[i] = c
+    _crc32c_table = t
+    return t
+
+
+def crc32c_u32_np(x, seed=0xFFFFFFFF):
+    """CRC32-C of each uint32 value (4 bytes LE), vectorized numpy.
+
+    Matches hardware ``_mm_crc32_u32(seed, x)`` semantics (no final xor).
+    """
+    t = _crc32c_table if _crc32c_table is not None else _crc32c_build_table()
+    x = np.asarray(x, np.uint32)
+    crc = np.full(x.shape, seed, np.uint32)
+    for shift in (0, 8, 16, 24):
+        byte = ((x >> np.uint32(shift)) & np.uint32(0xFF))
+        crc = (crc >> np.uint32(8)) ^ t[((crc ^ byte) & np.uint32(0xFF))]
+    return crc

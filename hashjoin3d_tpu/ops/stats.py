@@ -73,6 +73,50 @@ class HtStatistics:
             cc1.max(),
         ]
 
+    # -- serialization mirroring ht_statistics.cc:40-112 -----------------------
+
+    CSV_HEADER = ("numBuckets;numEmptyBuckets;numEntries;numDistinctKeys;"
+                  "cc0_avg;cc0_min;cc0_max;cc1_avg;cc1_min;cc1_max")
+
+    def to_csv_string(self) -> str:
+        f = self.to_csv_fields()
+        return ";".join(str(v) if not isinstance(v, float) else f"{v:.6g}"
+                        for v in [self.num_buckets, self.num_empty_buckets,
+                                  self.num_entries, self.num_distinct_keys,
+                                  f[2], f[3], f[4], f[5], f[6], f[7]])
+
+
+@dataclass
+class HtBucketStatistics:
+    """Per-bucket stats row (``ht_statistics.hh:9-15``)."""
+
+    bucket_index: int
+    num_entries: int
+    chain_len: int
+
+    CSV_HEADER = "bucketIndex;numEntries;chainLen"
+
+    def to_csv_string(self) -> str:
+        return f"{self.bucket_index};{self.num_entries};{self.chain_len}"
+
+
+def bucket_statistics_chaining(table: ChainingTable):
+    """Per-bucket dump: chaining chain length == entries per bucket."""
+    blen = np.asarray(table.bucket_len)
+    return [HtBucketStatistics(i, int(l), int(l)) for i, l in enumerate(blen)]
+
+
+def bucket_statistics_nested(table: NestedTable):
+    """Per-bucket dump: chain length = #MainNodes; entries = rows in bucket."""
+    bml = np.asarray(table.bucket_main_len)
+    from .hashing import murmur32_np
+    keys = np.asarray(table.keys)
+    rows_per_bucket = np.bincount(
+        murmur32_np(keys) % np.uint32(table.num_buckets),
+        minlength=table.num_buckets)
+    return [HtBucketStatistics(i, int(rows_per_bucket[i]), int(bml[i]))
+            for i in range(table.num_buckets)]
+
 
 def _from_chain_lens(chain_lens: np.ndarray, num_entries: int,
                      num_distinct: int) -> HtStatistics:

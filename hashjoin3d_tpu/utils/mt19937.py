@@ -235,6 +235,20 @@ class ZipfSampler:
                 return k
 
 
+    # probability mass / cumulative distribution (reference additions,
+    # util/zipf_distribution.hh:60-77)
+    def pmf(self, k: int) -> float:
+        assert 1 <= k <= self.n
+        if not hasattr(self, "_pmf_denom"):
+            self._pmf_denom = 1.0 / sum(1.0 / i ** self.q
+                                        for i in range(1, self.n + 1))
+        return (1.0 / k ** self.q) * self._pmf_denom
+
+    def cdf(self, k: int) -> float:
+        assert 1 <= k <= self.n
+        return sum(self.pmf(i) for i in range(1, k + 1))
+
+
 def round_half_away(x: float) -> int:
     """C++ std::round: half away from zero (Python's round is half-to-even)."""
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))

@@ -94,3 +94,40 @@ def test_checked_catches_oob():
     t = DeviceTimer()
     t(jax.jit(lambda x: x + 1), jnp.ones(8))
     assert t.calls == 1 and t.total > 0
+
+
+def test_bucket_statistics_and_misc_helpers():
+    from hashjoin3d_tpu.ops import build_chaining, build_nested
+    from hashjoin3d_tpu.ops.stats import (
+        bucket_statistics_chaining, bucket_statistics_nested,
+        chaining_statistics)
+    from hashjoin3d_tpu.utils.misc import (
+        binomial, duration_str, factorial, indent, is_power_of,
+        number_of_digits)
+
+    bk = np.array([1, 1, 2, 5], np.uint32)
+    ct = build_chaining(bk, 4)
+    rows = bucket_statistics_chaining(ct)
+    assert sum(r.num_entries for r in rows) == 4
+    assert rows[0].to_csv_string().count(";") == 2
+    nt = build_nested(bk, 4)
+    rows2 = bucket_statistics_nested(nt)
+    assert sum(r.num_entries for r in rows2) == 4
+    assert sum(r.chain_len for r in rows2) == 3  # distinct keys
+    s = chaining_statistics(ct)
+    assert s.CSV_HEADER.startswith("numBuckets")
+    assert s.to_csv_string().count(";") == 9
+
+    assert factorial(5) == 120 and binomial(5, 2) == 10
+    assert number_of_digits(1000) == 4 and number_of_digits(0) == 1
+    assert is_power_of(27, 3) and not is_power_of(10, 3)
+    assert indent(2) == "    "
+    assert duration_str(0.3) == "300 ms"
+
+
+def test_crc32c_and_fibhash():
+    from hashjoin3d_tpu.ops.hashing import crc32c_u32_np, fibhash16_np, fibhash64_np
+    # validated against SSE4.2 _mm_crc32_u32 on this host
+    assert int(crc32c_u32_np(np.array([0x12345678], np.uint32))[0]) == 0x4DECE20C
+    assert fibhash16_np(np.array([7], np.uint16), 100).shape == (1,)
+    assert fibhash64_np(np.array([7], np.uint64), 100).shape == (1,)
