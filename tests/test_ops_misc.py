@@ -131,3 +131,27 @@ def test_crc32c_and_fibhash():
     assert int(crc32c_u32_np(np.array([0x12345678], np.uint32))[0]) == 0x4DECE20C
     assert fibhash16_np(np.array([7], np.uint16), 100).shape == (1,)
     assert fibhash64_np(np.array([7], np.uint64), 100).shape == (1,)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from hashjoin3d_tpu.ops import build_nested, probe_nested
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.utils.checkpoint import load_table, save_table
+
+    bk = np.array([3, 3, 1, 9], np.uint32)
+    pk = np.array([3, 9, 4], np.uint32)
+    t = build_nested(bk, 4)
+    p = tmp_path / "tbl.npz"
+    save_table(p, t)
+    t2 = load_table(p)
+    r1, r2 = probe_nested(t, pk), probe_nested(t2, pk)
+    assert int(r1.num_matches) == int(r2.num_matches)
+    assert int(r1.num_cmps) == int(r2.num_cmps)
+
+    # host build with dense-direct (optional field set) round-trips too
+    perm = np.random.default_rng(0).permutation(64).astype(np.uint32)
+    c = build_chaining_host(perm, 64, dense_direct=True)
+    save_table(tmp_path / "c.npz", c)
+    c2 = load_table(tmp_path / "c.npz")
+    assert c2.direct is not None and c2.num_buckets == 64
+    np.testing.assert_array_equal(np.asarray(c.direct), np.asarray(c2.direct))
