@@ -67,18 +67,24 @@ def _ndu_probe_strand(tbl_s, tbl_t, r_k, out1, out2):
     rst = probe_nested(tbl_t, r_k, mask=rs.hit)         # [r, {s}, {t}]
 
     # Unnest #1 unpacks T: one row per T duplicate of surviving nested tuples.
+    # Per-segment attributes ride the expansions as propagated payloads.
     both = rst.hit                                       # implies rs.hit
     t_counts = jnp.where(both, rst.group_len, 0)
-    p1, w1, v1, n_unnest1 = expand(t_counts, out1)
-    t_row = tbl_t.groups.group_rows[tbl_t.groups.group_start[rst.g[p1]] + w1]
-    gs1 = rs.g[p1]                                       # S group, still nested
+    p1, w1, v1, n_unnest1, gst_t, gs1 = expand(
+        t_counts, out1,
+        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0)))
+    t_row = tbl_t.groups.group_rows[gst_t + w1]          # S group still nested
 
     # Unnest #2 unpacks S.
     s_counts = jnp.where(v1, tbl_s.groups.group_len[gs1], 0)
-    p2, w2, v2, n_unnest2 = expand(s_counts, out2)
-    s_row = tbl_s.groups.group_rows[tbl_s.groups.group_start[gs1[p2]] + w2]
-    r_row = jnp.where(v2, p1[p2], -1)
-    t_out = jnp.where(v2, t_row[p2], -1)
+    p2, w2, v2, n_unnest2, gst_s, t_prop, r_prop = expand(
+        s_counts, out2,
+        (tbl_s.groups.group_start[gs1],
+         jnp.where(v1, t_row, 0),
+         jnp.where(v1, p1, 0)))
+    s_row = tbl_s.groups.group_rows[gst_s + w2]
+    r_row = jnp.where(v2, r_prop, -1)
+    t_out = jnp.where(v2, t_prop, -1)
     s_out = jnp.where(v2, s_row, -1)
 
     return dict(

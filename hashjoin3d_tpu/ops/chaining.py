@@ -402,10 +402,10 @@ def materialize_chaining_join(
     total = jnp.sum(probe.match_count.astype(jnp.int64))
 
     def expanded(_):
-        p, within, valid, tot = expand(probe.match_count, out_size)
-        g = probe.g[p]
-        build_row = table.groups.group_rows[
-            table.groups.group_start[g] + within]
+        gstart_by_probe = table.groups.group_start[probe.g]
+        p, within, valid, tot, gstart = expand(
+            probe.match_count, out_size, (gstart_by_probe,))
+        build_row = table.groups.group_rows[gstart + within]
         return (jnp.where(valid, p, -1), jnp.where(valid, build_row, -1),
                 valid)
 

@@ -276,10 +276,12 @@ def merge_lookup(groups: "GroupIndex", probe_keys: jax.Array,
     k_prop = lax.cummax(jnp.where(is_dir, svals, 0), 0)  # last directory key
     hit_s = (~is_dir) & (k_prop == svals) & (g_prop >= 0)
 
-    g = jnp.zeros(P, I32).at[jnp.maximum(srow, 0)].set(
-        jnp.where(is_dir, 0, jnp.maximum(g_prop, 0)), mode="drop")
-    hit = jnp.zeros(P, bool).at[jnp.maximum(srow, 0)].set(
-        jnp.where(is_dir, False, hit_s), mode="drop")
+    # scatter back to probe positions; directory entries (srow == -1) must
+    # target out-of-range so mode="drop" discards them (clamping to 0 would
+    # clobber probe 0's result)
+    tgt = jnp.where(srow >= 0, srow, P)
+    g = jnp.zeros(P, I32).at[tgt].set(jnp.maximum(g_prop, 0), mode="drop")
+    hit = jnp.zeros(P, bool).at[tgt].set(hit_s, mode="drop")
     # padding directory slots carry group_len 0; exclude them like lookup()
     hit = hit & (groups.group_len[g] > 0)
     if mask is not None:
@@ -326,7 +328,7 @@ def bucket_csr(bucket: jax.Array, num_buckets: int):
     return bstart, blen
 
 
-def expand(counts: jax.Array, out_size: int):
+def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
     """Variable-count segment expansion to a static-size output buffer.
 
     Maps output slot j to (segment p, position-within-segment, valid).  This is
@@ -334,12 +336,18 @@ def expand(counts: jax.Array, out_size: int):
     while-loop over SubNodes, every output row materializes in parallel.
 
     TPU-native formulation: scatter each non-empty segment's (index, offset) at
-    its first output slot, then fill forward with cumulative maxima -- two
-    segment-sized scatters + two output-sized scans, all bandwidth-bound.  (The
+    its first output slot, then fill forward with cumulative maxima --
+    segment-sized scatters + output-sized scans, all bandwidth-bound.  (The
     binary-search formulation costs ~log2(out) random gathers per output slot;
     gathers are ~10 ns/elem on v5e.)
 
-    Returns ``(p, within, valid, total)``.
+    ``payloads``: optional per-segment i32 arrays (non-negative, < 2**26) to
+    propagate to every output slot of their segment *without* per-output
+    gathers: each rides a packed (segment_rank << 26 | value) int64 cummax.
+    Consumers use this to carry e.g. ``group_start[g]`` into the expansion
+    instead of gathering it per output row.
+
+    Returns ``(p, within, valid, total, *propagated_payloads)``.
     """
     counts = counts.astype(I32)
     P = counts.shape[0]
@@ -349,8 +357,8 @@ def expand(counts: jax.Array, out_size: int):
 
     is_head = counts > 0
     tgt = jnp.where(is_head, off, out_size)  # empty segments scatter off-end
-    head_p = jnp.full(out_size, -1, I32).at[tgt].set(
-        jnp.arange(P, dtype=I32), mode="drop")
+    rank = jnp.arange(P, dtype=I32)
+    head_p = jnp.full(out_size, -1, I32).at[tgt].set(rank, mode="drop")
     head_off = jnp.full(out_size, -1, I32).at[tgt].set(off, mode="drop")
 
     p = lax.cummax(head_p, 0)
@@ -358,4 +366,13 @@ def expand(counts: jax.Array, out_size: int):
     j = jnp.arange(out_size, dtype=I32)
     within = j - start
     valid = (j < total) & (p >= 0)
-    return jnp.maximum(p, 0), within, valid, total
+
+    props = []
+    for pay in payloads:
+        packed = (rank.astype(jnp.int64) << 26) | pay.astype(jnp.int64)
+        head_pl = jnp.full(out_size, -1, jnp.int64).at[tgt].set(
+            packed, mode="drop")
+        prop = lax.cummax(head_pl, 0)
+        props.append((prop & jnp.int64((1 << 26) - 1)).astype(I32))
+
+    return (jnp.maximum(p, 0), within, valid, total, *props)

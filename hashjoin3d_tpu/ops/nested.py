@@ -324,9 +324,14 @@ def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
         build_row = jnp.where(nested.hit, nested.direct_row, -1)
         return probe_row, build_row, nested.hit, total
 
-    p, within, valid, total = expand(nested.group_len, out_size)
-    g = nested.g[p]
-    build_row = table.groups.group_rows[table.groups.group_start[g] + within]
-    probe_row = jnp.where(valid, nested.probe_row[p], -1)
+    # Per-segment attributes (group_start, probe row) ride the expansion as
+    # propagated payloads -- P-sized gathers before, zero out-sized gathers
+    # after; the single remaining gather is the actual result-row fetch.
+    gstart_by_probe = table.groups.group_start[nested.g]
+    prow_by_probe = jnp.maximum(nested.probe_row, 0)
+    p, within, valid, total, gstart, prow = expand(
+        nested.group_len, out_size, (gstart_by_probe, prow_by_probe))
+    build_row = table.groups.group_rows[gstart + within]
+    probe_row = jnp.where(valid, prow, -1)
     build_row = jnp.where(valid, build_row, -1)
     return probe_row, build_row, valid, total.astype(jnp.int64)

@@ -72,6 +72,10 @@ def test_chaining_vs_oracle(case):
         pr = probe_chaining(tbl, pk, unique=unique)
         assert int(pr.num_matches) == omatches
         assert int(pr.num_cmps) == ocmps
+        # the merge (sort-based) lookup must agree with the binary search
+        prm = probe_chaining(tbl, pk, unique=unique, method="merge")
+        assert int(prm.num_matches) == omatches
+        assert int(prm.num_cmps) == ocmps
 
         out_size = max(len(opairs) + 3, 8)
         prow, brow, valid, total = materialize_chaining_join(
@@ -110,6 +114,9 @@ def test_nested_vs_oracle(case):
     nb_batch = probe_nested(tbl, pk)
     assert int(nb_batch.num_matches) == omatches
     assert int(nb_batch.num_cmps) == ocmps
+    nbm = probe_nested(tbl, pk, method="merge")
+    assert int(nbm.num_matches) == omatches
+    assert int(nbm.num_cmps) == ocmps
 
     oout = NestedOracle.unnest(onested)
     out_size = max(len(oout) + 3, 8)
@@ -287,3 +294,16 @@ def test_host_build_dense_direct_matches():
     q2 = probe_nested(n2, pk)
     assert int(q1.num_cmps) == int(q2.num_cmps)
     np.testing.assert_array_equal(np.asarray(n1.direct), np.asarray(n2.direct))
+
+
+def test_merge_lookup_probe_zero_not_clobbered():
+    """Directory entries must not scatter onto probe slot 0 (regression:
+    srow=-1 was clamped to 0, silently dropping probe 0's match)."""
+    from hashjoin3d_tpu.ops.layout import key_group_index, merge_lookup
+    # probe 0 matches the SMALLEST key so directory writes would come later
+    bk = np.array([10, 20, 30, 40, 50], np.uint32)
+    pk = np.array([10, 99, 30], np.uint32)
+    groups = key_group_index(bk)
+    g, hit = merge_lookup(groups, pk)
+    np.testing.assert_array_equal(np.asarray(hit), [True, False, True])
+    assert int(np.asarray(groups.ukey)[np.asarray(g)[0]]) == 10
