@@ -15,7 +15,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import time
 
 LOG2_R, LOG2_S = 20, 24
 BASELINE_PROBES_PER_S = 16777216 / 1.284  # BASELINE.md Csr probe strand

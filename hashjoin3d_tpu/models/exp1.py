@@ -37,16 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import (
-    build_chaining,
-    build_nested,
     materialize_chaining_join,
     probe_chaining,
     probe_nested,
     unnest,
 )
-from ..ops.chaining import shrink_chaining
-from ..ops.nested import shrink_nested
-from ..ops.layout import group_capacity
 from ..ops.stats import chaining_statistics, nested_statistics
 from ..utils import exp1_data
 from ..utils.csv_writer import CSVWriter

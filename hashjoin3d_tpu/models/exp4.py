@@ -31,13 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import (
-    build_chaining,
-    build_nested,
     materialize_chaining_join,
     probe_chaining,
     probe_nested,
 )
-from ..ops.layout import I32, expand
+from ..ops.layout import expand
 from ..utils import exp4_data
 from ..utils.csv_writer import CSVWriter
 from ..utils.measure import Timers, fence, repeat_mintime

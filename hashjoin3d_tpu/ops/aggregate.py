@@ -14,12 +14,10 @@ shape discipline.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from .layout import I32, GroupIndex, key_group_index
+from .layout import GroupIndex, key_group_index
 
 
 @jax.tree_util.register_dataclass

@@ -40,7 +40,7 @@ from jax import lax
 
 from .hashing import murmur32
 from .layout import (I32, U32, GroupIndex, expand, group_capacity,
-                     key_group_index, lookup, lookup_auto,
+                     key_group_index, lookup_auto,
                      shrink_group_arrays)
 
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .hashing import murmur32
-from .layout import I32, U32, bucket_csr
+from .layout import I32, U32
 
 
 @jax.jit

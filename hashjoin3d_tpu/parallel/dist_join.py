@@ -21,8 +21,6 @@ result sets are layout-independent).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -21,7 +21,6 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import build_nested, hash_aggregate, probe_nested, unnest
-from ..ops.layout import I32
 from .mesh import SHARD_AXIS
 from .shuffle import partition_exchange
 

@@ -20,8 +20,6 @@ Per-key replication of heavy directory entries inside the partitioned join
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +37,6 @@ from ..ops import (
 )
 from ..ops.layout import I32
 from .mesh import SHARD_AXIS
-from .shuffle import shard_of_key
 
 
 def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0):

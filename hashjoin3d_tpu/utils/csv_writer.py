@@ -9,7 +9,6 @@ reference binaries' output.
 
 from __future__ import annotations
 
-import io
 import sys
 from pathlib import Path
 

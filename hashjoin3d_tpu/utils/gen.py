@@ -20,7 +20,6 @@ native backend (their libstdc++ sampling protocols are not replicated here).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 
