@@ -4,7 +4,10 @@
 Mirrors the reference executable's interface (``main_experiment4.cc:1048-1161``):
 
   python exp4.py -R 20 -a 4 -A 4 -b 2 -B 2 --measure-file out.csv \
-      [-p Ndu,Chj] [--no-run] [--print-relations] [--print-paramtable]
+      [-p Ndu,Chj,Nnu] [--no-run] [--print-relations] [--print-paramtable]
+
+``-p all`` runs the reference's runnable plan set (Ndu, Chj).  Nnu -- declared
+but unimplemented in the reference -- is available by naming it explicitly.
 """
 
 import argparse

@@ -11,8 +11,10 @@ unnest work is proportional to the final -- not intermediate -- result.
 Plans (``main_experiment4.cc:158-164``):
   Ndu   3D hash joins, both unnests deferred after both probes (:832-941)
   Chj   chaining hash joins, full expansion between the joins (:943-1043)
-(The reference declares a third plan Nnu in its enum but never implements a
-run function for it, ``main_experiment4.cc:577-582``.)
+  Nnu   3D hash joins, NO unnest: nested RST tuples straight to top.  The
+        reference declares this plan in its enum/CLI map but never implements
+        a run function (``main_experiment4.cc:161,321,577-582``); here it is
+        implemented as the exp-4 analogue of exp-1's ``NrsNU``.
 
 Pipelines are jitted device programs; build strands and the probe strand are
 timed separately with ``block_until_ready`` under ``repeat_mintime``; the CSV
@@ -40,7 +42,7 @@ from ..utils import exp4_data
 from ..utils.csv_writer import CSVWriter
 from ..utils.measure import Timers, fence, repeat_mintime
 
-PLAN_NAMES = ["Ndu", "Chj"]
+PLAN_NAMES = ["Ndu", "Chj", "Nnu"]
 
 _CSV_HEADER = [
     "mintime", "minreps", "log2CardR", "a", "aM", "b", "bM",
@@ -92,6 +94,26 @@ def _ndu_probe_strand(tbl_s, tbl_t, r_k, out1, out2):
         c_unnest_1=n_unnest1.astype(jnp.int64),
         c_unnest_2=n_unnest2.astype(jnp.int64),
         c_top=n_unnest2.astype(jnp.int64),
+    )
+
+
+@jax.jit
+def _nnu_probe_strand(tbl_s, tbl_t, r_k):
+    """scan R -> NestProbe(S) -> NestProbe(T) -> Top, no unnesting.
+
+    Each surviving R row carries its two match-group ids (the "nested tuple");
+    c_top counts nested tuples, exactly like exp-1's NrsNU counts un-expanded
+    nested tuples (``main_experiment1.cc:1187-1285``).
+    """
+    rs = probe_nested(tbl_s, r_k)
+    rst = probe_nested(tbl_t, r_k, mask=rs.hit)
+    both = rst.hit
+    return dict(
+        g_s=jnp.where(both, rs.g, -1),
+        g_t=jnp.where(both, rst.g, -1),
+        c_probe_RS=rs.num_matches, c_probe_RS_cmp=rs.num_cmps,
+        c_probe_RT=rst.num_matches, c_probe_RT_cmp=rst.num_cmps,
+        c_top=rst.num_matches.astype(jnp.int64),
     )
 
 
@@ -147,9 +169,11 @@ class Experiment4:
                 if not item:
                     continue
                 if item.lower() == "all":
-                    out.update(PLAN_NAMES)
-                elif item.lower() in ("none", "nnu"):
-                    pass  # Nnu: declared but unimplemented in the reference
+                    out.update(("Ndu", "Chj"))  # reference's runnable set
+                elif item.lower() == "none":
+                    pass
+                elif item.lower() == "nnu":
+                    out.add("Nnu")
                 elif item in PLAN_NAMES:
                     out.add(item)
                 else:
@@ -260,7 +284,7 @@ class Experiment4:
             self.mult_beta, self.card_r, self.card_s, self.card_t)
 
     def _run_plan(self, name):
-        nested = name == "Ndu"
+        nested = name in ("Ndu", "Nnu")
         num_dv_fk = self.num_fk_common + self.num_fk_exclusive
         from ..ops.chaining import build_chaining_host
         from ..ops.nested import build_nested_host
@@ -269,7 +293,9 @@ class Experiment4:
             if nested:
                 return build_nested_host(keys, nb)
             return build_chaining_host(keys, nb)
-        if nested:
+        if name == "Nnu":
+            probe_fn = _nnu_probe_strand
+        elif nested:
             out1 = self.calc_join_card2() // max(self.mult_alpha, 1)
             out1 = max(out1, 1)
             probe_fn = partial(_ndu_probe_strand,
@@ -325,17 +351,16 @@ class Experiment4:
             self.card_s, self.card_t,
             int(out["c_probe_RS"]), int(out["c_probe_RS_cmp"]),
             int(out["c_probe_RT"]), int(out["c_probe_RT_cmp"]),
-            int(out["c_unnest_1"]) if nested else "NA",
-            int(out["c_unnest_2"]) if nested else "NA",
+            int(out["c_unnest_1"]) if "c_unnest_1" in out else "NA",
+            int(out["c_unnest_2"]) if "c_unnest_2" in out else "NA",
             int(out["c_top"]),
         ).newline()
 
     def run(self):
         self.csv.write_fields(*_CSV_HEADER).newline()
-        if "Ndu" in self.plans:
-            self._run_plan("Ndu")
-        if "Chj" in self.plans:
-            self._run_plan("Chj")
+        for name in PLAN_NAMES:  # fixed dispatch order like :577-582
+            if name in self.plans:
+                self._run_plan(name)
 
     def print_timers(self):
         self.timers.print()

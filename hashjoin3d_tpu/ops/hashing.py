@@ -37,6 +37,11 @@ __all__ = [
     "fibhash32_np",
     "larson_np",
     "multiplicative32",
+    "crc32c_u32_np",
+    "crc32c_u64_np",
+    "hash_crc32_np",
+    "hash_crc64_np",
+    "hash_crc32x2_np",
 ]
 
 
@@ -185,8 +190,59 @@ def crc32c_u32_np(x, seed=0xFFFFFFFF):
     """
     t = _crc32c_table if _crc32c_table is not None else _crc32c_build_table()
     x = np.asarray(x, np.uint32)
-    crc = np.full(x.shape, seed, np.uint32)
+    crc = np.full(x.shape, np.uint32(seed & 0xFFFFFFFF), np.uint32)
     for shift in (0, 8, 16, 24):
         byte = ((x >> np.uint32(shift)) & np.uint32(0xFF))
         crc = (crc >> np.uint32(8)) ^ t[((crc ^ byte) & np.uint32(0xFF))]
     return crc
+
+
+def crc32c_u64_np(x, seed=0xFFFFFFFF):
+    """CRC32-C of each uint64 value (8 bytes LE): ``_mm_crc32_u64`` semantics.
+
+    Only the low 32 bits of ``seed`` participate; the result is the 32-bit
+    CRC zero-extended to uint64, exactly like the hardware instruction the
+    reference wraps at ``util/hasht.hh:126-131``.
+    """
+    t = _crc32c_table if _crc32c_table is not None else _crc32c_build_table()
+    x = np.asarray(x, np.uint64)
+    crc = np.full(x.shape, np.uint32(seed & 0xFFFFFFFF), np.uint32)
+    for shift in range(0, 64, 8):
+        byte = ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint32)
+        crc = (crc >> np.uint32(8)) ^ t[((crc ^ byte) & np.uint32(0xFF))]
+    return crc.astype(np.uint64)
+
+
+# Reference functor seeds (util/hasht.hh:195-262).
+CRC_SEED_INITIAL = 0x6CA55437AE08FE14
+CRC_SEED_1 = 0x832CA348C6F5DAE9
+CRC_SEED_2 = 0x53C5A37A580308E3
+
+
+def hash_crc32_np(x, seed=CRC_SEED_INITIAL):
+    """``HashCrc32<u32>::operator()`` (util/hasht.hh:202-225): one-shot CRC."""
+    return crc32c_u32_np(x, seed)
+
+
+def hash_crc64_np(x):
+    """``HashCrc64::hash`` (util/hasht.hh:227-244): two u64 CRCs combined.
+
+    Validated against SSE4.2: hash(0x123456789abcdef0) == 0x554ca2fdcc86751d.
+    """
+    h1 = crc32c_u64_np(x, CRC_SEED_1)
+    h2 = crc32c_u64_np(x, CRC_SEED_2)
+    return h1 ^ (h2 << np.uint64(32))
+
+
+def hash_crc32x2_np(x, mod=None):
+    """``HashCrc32x2<u32>::operator()`` (util/hasht.hh:246-262).
+
+    Without ``mod``: the first-seed CRC only (the reference's unary form).
+    With ``mod``: ``((crc1 << 32) | crc2) % mod`` truncated to uint32.
+    """
+    c1 = crc32c_u32_np(x, CRC_SEED_1)
+    if mod is None:
+        return c1
+    c2 = crc32c_u32_np(x, CRC_SEED_2)
+    h = (c1.astype(np.uint64) << np.uint64(32)) | c2.astype(np.uint64)
+    return (h % np.uint64(mod)).astype(np.uint32)

@@ -151,3 +151,41 @@ def test_exp4_result_set_vs_numpy_oracle():
     assert triples(ndu) == want
     assert triples(chj) == want
     assert int(ndu["c_top"]) == c2 == len(want)
+
+
+def test_exp4_nnu_plan():
+    """Nnu: 3D joins without unnesting; one nested tuple per surviving R row.
+
+    The reference declares Nnu but never implements it; semantics follow
+    exp-1's NrsNU (nested tuples straight to top).
+    """
+    from hashjoin3d_tpu.models.exp4 import _nnu_probe_strand
+    from hashjoin3d_tpu.ops import build_nested
+    from hashjoin3d_tpu.utils import exp4_data
+
+    exp = Experiment4(6, 2, 2, 3, 2, plans=("Nnu",))
+    assert exp.plans == {"Nnu"}
+    sa, ta = exp4_data(6, 2, 2, 3, 2)
+    rk = np.arange(64, dtype=np.uint32)
+    ndv = exp.num_fk_common + exp.num_fk_exclusive
+
+    out = _nnu_probe_strand(build_nested(sa, ndv), build_nested(ta, ndv), rk)
+    # exactly the alpha-common keys have partners in BOTH S and T
+    assert int(out["c_top"]) == exp.num_fk_common
+    g_s, g_t = np.asarray(out["g_s"]), np.asarray(out["g_t"])
+    hits = g_s >= 0
+    assert hits.sum() == exp.num_fk_common
+    assert np.array_equal(hits, g_t >= 0)
+    # probe counters: RS probe matches every key present in S
+    assert int(out["c_probe_RS"]) == exp.num_fk_common + exp.num_fk_exclusive
+
+    # end-to-end through the harness (CSV written, counters sane)
+    import io
+    buf = io.StringIO()
+    e2 = Experiment4(6, 2, 2, 3, 2, plans=("Nnu",), measure_file=buf,
+                     min_runtime_s=0.0, min_repeat=1, trace=False)
+    e2.init()
+    e2.run()
+    rows = [r.split(";") for r in buf.getvalue().strip().splitlines()]
+    assert rows[1][10] == "Nnu"
+    assert int(rows[1][-1]) == exp.num_fk_common

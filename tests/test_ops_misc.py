@@ -133,6 +133,36 @@ def test_crc32c_and_fibhash():
     assert fibhash64_np(np.array([7], np.uint64), 100).shape == (1,)
 
 
+def test_crc_functors_match_sse42_goldens():
+    """HashCrc32/HashCrc64/HashCrc32x2 (util/hasht.hh:195-262) vs hardware.
+
+    Goldens computed on this host with _mm_crc32_u32/_mm_crc32_u64 and the
+    reference's seed constants.
+    """
+    from hashjoin3d_tpu.ops.hashing import (
+        crc32c_u64_np, hash_crc32_np, hash_crc32x2_np, hash_crc64_np)
+
+    v64 = np.array([0x123456789ABCDEF0], np.uint64)
+    assert int(crc32c_u64_np(v64)[0]) == 0xD95B664B
+    assert int(hash_crc64_np(v64)[0]) == 0x554CA2FDCC86751D
+    x32 = np.array([0x12345678], np.uint32)
+    assert int(hash_crc32_np(x32)[0]) == 0xCF51A615
+    assert int(hash_crc32x2_np(x32)[0]) == 0x4816ED18
+    assert int(hash_crc32x2_np(x32, 1000)[0]) == 278
+
+
+def test_string_and_debug_helpers():
+    from hashjoin3d_tpu.utils.misc import (
+        ltrim, rtrim, to_lower, to_upper, trim, type_name)
+
+    assert ltrim("  x ") == "x " and rtrim("  x ") == "  x"
+    assert trim(" x ") == "x"
+    assert to_lower("AbC") == "abc" and to_upper("AbC") == "ABC"
+    assert type_name(np.zeros(4, np.uint32)) == "uint32[4]"
+    assert type_name({"k": np.zeros((2, 3), np.int32)}) == "{k: int32[2,3]}"
+    assert type_name([1, (2.0,)]) == "[int, (float)]"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from hashjoin3d_tpu.ops import build_nested, probe_nested
     from hashjoin3d_tpu.ops.chaining import build_chaining_host
