@@ -1,0 +1,129 @@
+"""Ring-scheduled distributed probe: the join analogue of ring attention.
+
+The ``all_to_all`` joins in ``dist_join.py`` move every probe row to the shard
+owning its key in one global exchange.  This module implements the alternative
+schedule sketched in SURVEY.md section 5.7: build-side tables stay **resident**
+(one hash-partitioned shard each), and the *probe chunks* circulate around the
+mesh axis with ``lax.ppermute`` -- each shard probes the chunk currently
+visiting it, then forwards the chunk to its ring neighbor.  After ``n_shards``
+steps every chunk has visited every table shard exactly once.
+
+Why this schedule exists (TPU systems reasoning, not reference parity -- the
+reference is single-threaded):
+
+* traffic is nearest-neighbor only: each hop is a fixed-size ``ppermute`` over
+  one ICI link, never an all-to-all hotspot.  Under zipf-skewed probe keys an
+  ``all_to_all`` exchange concentrates most probe rows onto the hot key's
+  owner shard (capacity blowup, SURVEY.md section 7.4); in the ring schedule
+  probe rows NEVER move based on their key, so per-shard receive volume is
+  exactly uniform regardless of skew;
+* each step's probe compute can overlap the next hop's permute (XLA schedules
+  the independent collective concurrently under jit);
+* a probe row meets its key's owning table exactly once, so global match
+  counters are exact -- non-owner visits just miss (their comparisons are
+  counted like any hash-table miss, which is chain-layout-dependent in the
+  reference too).
+
+The cost: every chunk probes every shard (n_shards local probes instead of
+one), so prefer the all_to_all join when keys are near-uniform and probe
+volume dominates; prefer the ring when the key distribution is skewed or
+when per-shard receive capacity is the binding constraint.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import build_nested, probe_nested, unnest
+from ..ops.layout import I32
+from .dist_join import _global_rows
+from .mesh import SHARD_AXIS
+from .shuffle import partition_exchange
+
+
+def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
+                          build_capacity: int, out_capacity: int,
+                          step_out_capacity: int | None = None,
+                          axis: str = SHARD_AXIS):
+    """Build a jitted ring-scheduled distributed 3D hash join step.
+
+    Returns ``step(build_keys, probe_keys) -> dict`` (same contract as
+    :func:`..parallel.dist_join.dist_nested_join`: replicated global counters,
+    shard-local ``(probe_row, build_row)`` global-id pairs, ``out_valid``
+    mask, ``overflow``).  The build side is hash-partition exchanged once;
+    probe rows are never routed by key -- chunks circulate instead.
+
+    ``step_out_capacity`` bounds one (chunk, shard) probe's unnested output
+    (default: ``out_capacity``); ``out_capacity`` bounds the per-shard total
+    across all ring steps.
+    """
+    ns = mesh.shape[axis]
+    step_cap = out_capacity if step_out_capacity is None else step_out_capacity
+    fwd = [(i, (i + 1) % ns) for i in range(ns)]
+
+    def step(build_keys, probe_keys):
+        nb_local = build_keys.shape[0]
+        np_local = probe_keys.shape[0]
+
+        # Build side: one exchange, resident table per shard.
+        bkeys, bpay, bvalid, bovf = partition_exchange(
+            axis, build_keys, {"row": _global_rows(nb_local, axis)},
+            ns, build_capacity)
+        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid)
+
+        # Probe side: the local chunk starts at home and rides the ring.
+        vkeys = probe_keys
+        vrow = _global_rows(np_local, axis)
+
+        out_p = jnp.full(out_capacity, -1, I32)
+        out_b = jnp.full(out_capacity, -1, I32)
+        offset = jnp.int64(0)
+        matches = jnp.int64(0)
+        cmps = jnp.int64(0)
+
+        for k in range(ns):
+            res = probe_nested(table, vkeys)
+            prow_l, brow_l, ovalid, total = unnest(table, res, step_cap)
+            prow_g = vrow[jnp.maximum(prow_l, 0)]
+            brow_g = bpay["row"][jnp.maximum(brow_l, 0)]
+
+            # Append this step's valid rows at the running offset.
+            pos = jnp.cumsum(ovalid.astype(I32)) - 1
+            idx = jnp.where(ovalid, offset.astype(I32) + pos, out_capacity)
+            out_p = out_p.at[idx].set(jnp.where(ovalid, prow_g, -1),
+                                      mode="drop")
+            out_b = out_b.at[idx].set(jnp.where(ovalid, brow_g, -1),
+                                      mode="drop")
+            offset = offset + total
+            matches = matches + res.num_matches
+            cmps = cmps + res.num_cmps
+
+            if k + 1 < ns:  # forward the chunk to the ring neighbor
+                vkeys = lax.ppermute(vkeys, axis, fwd)
+                vrow = lax.ppermute(vrow, axis, fwd)
+
+        dropped = jnp.maximum(offset - out_capacity, 0)
+        out_valid = jnp.arange(out_capacity, dtype=I32) < jnp.minimum(
+            offset, out_capacity).astype(I32)
+
+        return dict(
+            num_matches=lax.psum(matches, axis),
+            num_cmps=lax.psum(cmps, axis),
+            num_unnested=lax.psum(offset, axis),
+            overflow=bovf + lax.psum(dropped, axis),
+            probe_row=out_p,
+            build_row=out_b,
+            out_valid=out_valid,
+        )
+
+    specs_in = (P(axis), P(axis))
+    specs_out = dict(
+        num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
+        probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
+    )
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
+                             out_specs=specs_out))

@@ -173,3 +173,43 @@ def test_dist_filter_join_aggregate(mesh):
             assert int(k) not in got, "key must live on exactly one shard"
             got[int(k)] = (int(c), int(s))
     assert got == want
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_ring_join_matches_all_to_all(mesh, skewed):
+    """Ring-scheduled probe == exchange-scheduled join == oracle.
+
+    Under skew the ring schedule must succeed with UNIFORM per-shard probe
+    capacity (probes never move by key), where the exchange join would need
+    a hot-shard-sized probe capacity.
+    """
+    from hashjoin3d_tpu.parallel import dist_ring_nested_join
+
+    rng = np.random.default_rng(17)
+    n_b, n_p = 1024, 2048
+    if skewed:
+        pk = np.minimum(rng.zipf(1.2, n_p), 400).astype(np.uint32)
+    else:
+        pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+
+    sh = shard_axis(mesh)
+    bk_d, pk_d = jax.device_put(bk, sh), jax.device_put(pk, sh)
+    out_cap = 16 * n_p
+
+    ring = dist_ring_nested_join(mesh, num_buckets_per_shard=64,
+                                 build_capacity=n_b, out_capacity=out_cap,
+                                 step_out_capacity=out_cap // 2)
+    out = ring(bk_d, pk_d)
+    assert int(out["overflow"]) == 0
+
+    want = _oracle_pairs(bk, pk)
+    assert _pairs(out) == want
+    assert int(out["num_unnested"]) == len(want)
+
+    a2a = dist_nested_join(mesh, num_buckets_per_shard=64,
+                           build_capacity=n_b, probe_capacity=4 * n_p,
+                           out_capacity=out_cap)
+    out2 = a2a(bk_d, pk_d)
+    assert int(out["num_matches"]) == int(out2["num_matches"])
+    assert _pairs(out2) == want
