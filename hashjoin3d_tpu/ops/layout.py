@@ -182,20 +182,24 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
     q = jnp.where(p == 0, 0, run_len - p)
     group_rows = jnp.zeros(n, I32).at[run_start + q].set(srow)
 
-    # one stacked scatter builds the whole compact directory
-    tgt = jnp.where(is_first, gid, cap)
-    vals = jnp.stack(
-        [skey.view(I32), i, run_len, srow], axis=1)  # (n, 4)
-    dir4 = jnp.full((cap + 1, 4), 0, I32).at[tgt].set(vals, mode="drop")
-    ukey = dir4[:cap, 0].view(U32)
-    group_start = dir4[:cap, 1]
-    group_len = dir4[:cap, 2]
-    first_row = dir4[:cap, 3]
-    pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(gid[-1] + 1, cap)
-    ukey = jnp.where(pad, UKEY_PAD, ukey)
-    first_row = jnp.where(pad, n, first_row)
-    group_start = jnp.where(pad, n, group_start)
-    group_len = jnp.where(pad, 0, group_len)
+    # Directory via ONE narrow head-position scatter + cap-sized gathers.
+    # (A single (n,4) stacked scatter looks tidy but XLA's multi-column
+    # scatter is ~14x slower than a narrow scatter on v5e -- 1.47 s vs
+    # 0.11 s at n=16.8M; four 1M gathers cost ~40 ms.)
+    if n == 0:
+        ukey = jnp.full(cap, UKEY_PAD, U32)
+        group_start = jnp.zeros(cap, I32)
+        group_len = jnp.zeros(cap, I32)
+        first_row = jnp.zeros(cap, I32)
+    else:
+        tgt = jnp.where(is_first, gid, cap)
+        head = jnp.full(cap + 1, n, I32).at[tgt].set(i, mode="drop")[:cap]
+        pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(gid[-1] + 1, cap)
+        hp = jnp.minimum(head, n - 1)
+        ukey = jnp.where(pad, UKEY_PAD, skey[hp])
+        group_start = jnp.where(pad, n, head)
+        group_len = jnp.where(pad, 0, run_len[hp])
+        first_row = jnp.where(pad, n, srow[hp])
 
     if with_gid_by_row:
         gid_by_row = jnp.zeros(n, I32).at[srow].set(gid)
@@ -324,6 +328,27 @@ def group_capacity(n_keys: int, n: int) -> int:
 def bucket_csr(bucket: jax.Array, num_buckets: int):
     """Histogram + exclusive prefix sum: CSR over hash-directory buckets."""
     blen = jnp.bincount(bucket, length=num_buckets).astype(I32)
+    bstart = (jnp.cumsum(blen) - blen).astype(I32)
+    return bstart, blen
+
+
+def sorted_histogram(b_sorted: jax.Array, num_buckets: int,
+                     is_first: jax.Array, run_len: jax.Array):
+    """Bucket histogram from an already-sorted bucket column.
+
+    ``jnp.bincount`` lowers to a scatter-ADD, which is catastrophically slow
+    on TPU (measured 2.5 s for 16.8M adds into 1M bins on v5e -- 35x the cost
+    of the sort itself).  When the column is already sorted (every build does
+    a bucket sort anyway), the histogram is free: scatter each run's length at
+    its head with a plain ``set`` (~144 ms for 16.8M rows).  Values sorted to
+    position >= ``num_buckets`` (validity parking) fall off the extended slot.
+
+    ``is_first``/``run_len`` come from :func:`run_boundaries` over the same
+    sorted column.  Returns ``(bucket_start, bucket_len)``, both i32[nb].
+    """
+    tgt = jnp.where(is_first, b_sorted.astype(I32), num_buckets)
+    blen = (jnp.zeros(num_buckets + 1, I32).at[tgt]
+            .set(run_len.astype(I32), mode="drop")[:num_buckets])
     bstart = (jnp.cumsum(blen) - blen).astype(I32)
     return bstart, blen
 

@@ -177,7 +177,8 @@ def shrink_nested(table: NestedTable, cap: int) -> NestedTable:
 
 
 def build_nested_host(keys: jax.Array, num_buckets: int,
-                      dense_direct: bool = False) -> NestedTable:
+                      dense_direct: bool = False,
+                      n_keys: int | None = None) -> NestedTable:
     """Two-phase host-orchestrated build with a *compacted* directory.
 
     Phase 1 sorts the keys and reads the distinct-key count on the host (one
@@ -186,11 +187,32 @@ def build_nested_host(keys: jax.Array, num_buckets: int,
     ~10x faster than the pure-jit padded build on large FK columns (v5e).
     Use inside other jits is impossible (host sync); there, use
     :func:`build_nested`.
+
+    ``n_keys``: exact distinct-key count, when the caller knows it (cardinality
+    statistics; the experiment harnesses compute it at generation time).
+    Passing it removes the phase-1 device->host sync -- the only blocking
+    round trip in the build, worth ~1 RTT of the tunnel per build.  A smaller
+    value truncates the directory (groups beyond ``cap`` are lost); exact or
+    larger values are safe.
     """
     from .layout import sort_with_rows, group_capacity
 
-    skey, srow, n_keys = sort_with_rows(keys)
-    cap = group_capacity(int(n_keys), keys.shape[0])
+    if n_keys is not None:
+        # sync-free: both phases fuse into one device program (one dispatch)
+        cap = group_capacity(n_keys, keys.shape[0])
+        return _build_nested_fused(keys, cap, num_buckets, dense_direct)
+    skey, srow, nk = sort_with_rows(keys)
+    n_keys = int(nk)  # the one host sync
+    cap = group_capacity(n_keys, keys.shape[0])
+    return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
+                                dense_direct)
+
+
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
+def _build_nested_fused(keys, cap, num_buckets, dense_direct):
+    from .layout import sort_with_rows
+
+    skey, srow, _ = sort_with_rows(keys)
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
                                 dense_direct)
 
@@ -208,14 +230,18 @@ def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
     b_main = jnp.where(validg,
                        (h_main % jnp.uint32(num_buckets)).astype(I32),
                        num_buckets)
-    blen_ext = jnp.bincount(b_main, length=num_buckets + 1).astype(I32)
-    bucket_main_len = blen_ext[:num_buckets]
 
-    # main-chain position: first-occurrence order within each bucket
+    # main-chain position: first-occurrence order within each bucket; the
+    # main-chain histogram rides the same sort (sorted_histogram avoids
+    # bincount's slow scatter-add)
+    from .layout import sorted_histogram
     gidc = jnp.arange(cap, dtype=I32)
     bm_s, _, gid_s = lax.sort((b_main, groups.first_row, gidc), num_keys=2)
     n_valid_groups = jnp.sum(validg.astype(I32))
-    _, _, run_start, _ = run_boundaries(bm_s.astype(U32), n_valid_groups)
+    is_first_m, _, run_start, run_len_m = run_boundaries(
+        bm_s.astype(U32), n_valid_groups)
+    _, bucket_main_len = sorted_histogram(bm_s, num_buckets, is_first_m,
+                                          run_len_m)
     pos_s = jnp.arange(cap, dtype=I32) - run_start
     main_pos_by_group = jnp.zeros(cap, I32).at[gid_s].set(pos_s)
 

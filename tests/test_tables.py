@@ -307,3 +307,68 @@ def test_merge_lookup_probe_zero_not_clobbered():
     g, hit = merge_lookup(groups, pk)
     np.testing.assert_array_equal(np.asarray(hit), [True, False, True])
     assert int(np.asarray(groups.ukey)[np.asarray(g)[0]]) == 10
+
+
+def test_dense_direct_nonunique_probe_matches_oracle():
+    """CsrUU on a dense-direct table: full-chain-walk cmps from bucket_len,
+    match rows from the one-gather direct word, materialization positional."""
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+
+    rng = np.random.default_rng(31)
+    perm = rng.permutation(128).astype(np.uint32)
+    pk = rng.integers(0, 160, 256, dtype=np.uint32)  # includes misses
+    nb = 32
+
+    orc = ChainingOracle(perm, nb)
+    pairs, matches, cmps = orc.probe(pk, unique=False)
+
+    for tbl in (build_chaining(perm, nb, dense_direct=True),
+                build_chaining_host(perm, nb, dense_direct=True, n_keys=128)):
+        res = probe_chaining(tbl, pk, unique=False)
+        assert res.from_direct
+        assert int(res.num_matches) == matches
+        assert int(res.num_cmps) == cmps
+        prow, brow, valid, total = materialize_chaining_join(
+            tbl, res, pk.size, unique=False)
+        got = sorted((int(p), int(b)) for p, b, v in
+                     zip(np.asarray(prow), np.asarray(brow), np.asarray(valid))
+                     if v)
+        assert got == sorted(pairs)
+        assert int(total) == matches
+
+    # masked probe: dead rows contribute no matches and no comparisons
+    tbl = build_chaining(perm, nb, dense_direct=True)
+    mask = np.arange(256) % 2 == 0
+    res_m = probe_chaining(tbl, pk, unique=False, mask=jnp_array(mask))
+    orc_pairs, orc_m, orc_c = orc.probe(pk[mask], unique=False)
+    assert int(res_m.num_matches) == orc_m
+    assert int(res_m.num_cmps) == orc_c
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def test_host_build_n_keys_hint_equivalent():
+    """Passing the exact distinct-key count must yield an identical table."""
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+
+    rng = np.random.default_rng(57)
+    keys = rng.integers(0, 200, 1000, dtype=np.uint32)
+    nk = int(np.unique(keys).size)
+    pk = rng.integers(0, 256, 300, dtype=np.uint32)
+
+    t_sync = build_chaining_host(keys, 64)
+    t_hint = build_chaining_host(keys, 64, n_keys=nk)
+    for a, b in zip((t_sync.groups.ukey, t_sync.bucket_len, t_sync.pos_by_row),
+                    (t_hint.groups.ukey, t_hint.bucket_len, t_hint.pos_by_row)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    n_sync = build_nested_host(keys, 64)
+    n_hint = build_nested_host(keys, 64, n_keys=nk)
+    r1 = probe_nested(n_sync, pk)
+    r2 = probe_nested(n_hint, pk)
+    assert int(r1.num_matches) == int(r2.num_matches)
+    assert int(r1.num_cmps) == int(r2.num_cmps)
