@@ -291,13 +291,15 @@ class Experiment1:
         from ..ops.chaining import build_chaining_host
         from ..ops.nested import build_nested_host
 
-        def chaining_build(nb, nk, dense=False):
+        # S.a lives in [0, fkMax) by construction (main_experiment1.cc:190),
+        # so S-side tables also get the one-gather dense key-domain index.
+        def chaining_build(nb, nk, dense=False, dom=None):
             return lambda keys: build_chaining_host(
-                keys, nb, dense_direct=dense, n_keys=nk)
+                keys, nb, dense_direct=dense, n_keys=nk, key_domain=dom)
 
-        def nested_build(nb, nk, dense=False):
+        def nested_build(nb, nk, dense=False, dom=None):
             return lambda keys: build_nested_host(
-                keys, nb, dense_direct=dense, n_keys=nk)
+                keys, nb, dense_direct=dense, n_keys=nk, key_domain=dom)
         # Adaptive physical layout: R.k is a dense permutation by construction
         # (main_experiment1.cc:425-428), enabling the one-gather direct probe.
         from ..ops.chaining import can_use_dense_direct
@@ -317,7 +319,7 @@ class Experiment1:
         if "Crs" in self.plans:
             self._run_join_plan(
                 "Crs", self._sa, self._rk, nb_s,
-                chaining_build(nb_s, self.num_dv_sa),
+                chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
                 "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:
@@ -329,13 +331,13 @@ class Experiment1:
         if "Nrs" in self.plans:
             self._run_join_plan(
                 "Nrs", self._sa, self._rk, nb_s,
-                nested_build(nb_s, self.num_dv_sa),
+                nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
                 lambda t, p: _nested_probe_strand(t, p, self.card_s),
                 "nested", "S", "R", has_unnest=True)
         if "NrsNU" in self.plans:
             self._run_join_plan(
                 "NrsNU", self._sa, self._rk, nb_s,
-                nested_build(nb_s, self.num_dv_sa),
+                nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
                 lambda t, p: _nested_probe_strand_nounnest(t, p),
                 "nested", "S", "R", has_unnest=False)
         self.timers.stop("run")

@@ -289,11 +289,18 @@ class Experiment4:
         from ..ops.chaining import build_chaining_host
         from ..ops.nested import build_nested_host
 
+        # FK domains are dense by construction: S.a in [0, nCommon+nExcl),
+        # T.a in [0, nCommon) U [nCommon+nExcl, nCommon+2*nExcl)
+        # (main_experiment4.cc:517-575) -> dense key-domain index applies.
+        key_dom = self.num_fk_common + 2 * self.num_fk_exclusive
+
         def build_fn(keys, nb):
             # exact distinct-FK count is known analytically -> sync-free build
             if nested:
-                return build_nested_host(keys, nb, n_keys=num_dv_fk)
-            return build_chaining_host(keys, nb, n_keys=num_dv_fk)
+                return build_nested_host(keys, nb, n_keys=num_dv_fk,
+                                         key_domain=key_dom)
+            return build_chaining_host(keys, nb, n_keys=num_dv_fk,
+                                       key_domain=key_dom)
         if name == "Nnu":
             probe_fn = _nnu_probe_strand
         elif nested:

@@ -70,6 +70,13 @@ class ChainingTable:
     # ``can_use_dense_direct``; None when not applicable.
     direct: jax.Array | None = None      # u32[n] packed (row | pos1 << shift)
     direct_shift: int = field(metadata=dict(static=True), default=0)
+    # Dense key-domain index (the FK-side analogue of ``direct``): when build
+    # keys live in a small, statically known domain [0, domain) -- experiment
+    # FK columns by construction (fkMax, main_experiment1.cc:190) -- a
+    # ``key value -> group id`` array turns the probe's directory lookup into
+    # ONE gather (vs a merge sort pass or log2(n_keys) search gathers).
+    # Non-unique keys are fine (it maps to the GROUP).  -1 = key absent.
+    key_direct: jax.Array | None = None  # i32[domain]
 
     @property
     def size(self):
@@ -187,39 +194,46 @@ class ChainProbeResult:
 
 def build_chaining_host(keys: jax.Array, num_buckets: int,
                         dense_direct: bool = False,
-                        n_keys: int | None = None) -> ChainingTable:
+                        n_keys: int | None = None,
+                        key_domain: int | None = None) -> ChainingTable:
     """Two-phase host-orchestrated build with a compacted directory.
 
     See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure
-    (including the ``n_keys`` hint that removes the phase-1 host sync);
-    additionally derives the early-exit unique index (group_min_pos /
-    group_chain_first) from compact-sized gathers instead of n-sized scatters.
+    (including the ``n_keys`` / ``key_domain`` hints); additionally derives
+    the early-exit unique index (group_min_pos / group_chain_first) from
+    compact-sized gathers instead of n-sized scatters.
     """
     from .layout import group_capacity, sort_with_rows
 
     if n_keys is not None:
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
-        return _build_chaining_fused(keys, cap, num_buckets, dense_direct)
+        return _build_chaining_fused(keys, cap, num_buckets, dense_direct,
+                                     key_domain)
     skey, srow, nk = sort_with_rows(keys)
     n_keys = int(nk)  # the one host sync
     cap = group_capacity(n_keys, keys.shape[0])
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
-                                  dense_direct)
+                                  dense_direct, key_domain)
 
 
-@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
-def _build_chaining_fused(keys, cap, num_buckets, dense_direct):
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
+                                   "key_domain"))
+def _build_chaining_fused(keys, cap, num_buckets, dense_direct,
+                          key_domain=None):
     from .layout import sort_with_rows
 
     skey, srow, _ = sort_with_rows(keys)
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
-                                  dense_direct)
+                                  dense_direct, key_domain)
 
 
-@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
-def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
-    from .layout import compact_group_index, run_boundaries, sorted_histogram
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
+                                   "key_domain"))
+def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
+                           key_domain=None):
+    from .layout import (compact_group_index, key_direct_index,
+                         run_boundaries, sorted_histogram)
 
     keys = keys.astype(U32)
     n = keys.shape[0]
@@ -265,7 +279,11 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
         direct = (groups.first_row.astype(U32)
                   | (pos1.astype(U32) << jnp.uint32(direct_shift)))
 
+    key_direct = (key_direct_index(groups, key_domain)
+                  if key_domain is not None and not dense_direct else None)
+
     return ChainingTable(
+        key_direct=key_direct,
         groups=groups,
         bucket_start=bucket_start,
         bucket_len=bucket_len,
@@ -379,7 +397,11 @@ def probe_chaining(
     b = (h % jnp.uint32(table.num_buckets)).astype(I32)
     blen = table.bucket_len[b]
 
-    g, hit = lookup_auto(table.groups, pk, method)
+    if table.key_direct is not None:
+        from .layout import key_direct_lookup
+        g, hit = key_direct_lookup(table.key_direct, pk)  # ONE gather
+    else:
+        g, hit = lookup_auto(table.groups, pk, method)
     if mask is not None:
         hit = hit & mask
     glen = jnp.where(hit, table.groups.group_len[g], 0)

@@ -308,6 +308,31 @@ def lookup_auto(groups: "GroupIndex", probe_keys: jax.Array,
     return lookup(groups, probe_keys)
 
 
+def key_direct_index(groups: "GroupIndex", key_domain: int) -> jax.Array:
+    """Dense key->group map over a statically known domain [0, key_domain).
+
+    ONE narrow scatter at build time buys probes a ONE-gather directory
+    lookup (the merge pass costs ~60 ms per 1M probes on v5e against ~10 ms
+    for the gather; binary search costs log2(n_keys) gathers).  ``-1`` marks
+    absent keys.  ``key_domain`` must be a true upper bound on build key
+    values + 1 -- keys at or beyond it would become unreachable.
+    """
+    cap = groups.ukey.shape[0]
+    ok = (groups.group_len > 0) & (groups.ukey < key_domain)
+    tgt = jnp.where(ok, groups.ukey.astype(I32), key_domain)
+    return (jnp.full(key_domain + 1, -1, I32)
+            .at[tgt].set(jnp.arange(cap, dtype=I32), mode="drop")[:key_domain])
+
+
+def key_direct_lookup(key_direct: jax.Array, probe_keys: jax.Array):
+    """One-gather probe against a :func:`key_direct_index` map -> (g, hit)."""
+    dom = key_direct.shape[0]
+    pk = probe_keys.astype(U32)
+    in_dom = pk < dom
+    g = jnp.where(in_dom, key_direct[jnp.minimum(pk, dom - 1)], -1)
+    return jnp.maximum(g, 0), g >= 0
+
+
 def shrink_group_arrays(arrays: tuple, cap: int):
     """Slice group-indexed arrays to a compile-time capacity.
 
@@ -367,10 +392,17 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
     gathers are ~10 ns/elem on v5e.)
 
     ``payloads``: optional per-segment i32 arrays (non-negative, < 2**26) to
-    propagate to every output slot of their segment *without* per-output
-    gathers: each rides a packed (segment_rank << 26 | value) int64 cummax.
-    Consumers use this to carry e.g. ``group_start[g]`` into the expansion
-    instead of gathering it per output row.
+    propagate to every output slot of their segment.  Two shape-dependent
+    strategies (measured on v5e):
+
+    * ``out_size <= 2 * P`` (contraction, e.g. deferred-unnest pipelines where
+      most segments died): ONE out-sized gather ``pay[p]`` each (~10 ns/elem).
+      The packed-cummax alternative pays an int64 P-update scatter, which
+      alone costs ~65 ms at P=1M -- 16x its int32 twin.
+    * ``out_size > 2 * P`` (true expansion, e.g. 1M probes -> 16.8M rows):
+      ride a packed ``(rank << 26 | value)`` int64 cummax.  Here the gather
+      would cost out_size * 10 ns (~168 ms at 16.8M) per payload, more than
+      the scatter+scan combination.
 
     Returns ``(p, within, valid, total, *propagated_payloads)``.
     """
@@ -391,13 +423,17 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
     j = jnp.arange(out_size, dtype=I32)
     within = j - start
     valid = (j < total) & (p >= 0)
+    pc = jnp.maximum(p, 0)
 
-    props = []
-    for pay in payloads:
-        packed = (rank.astype(jnp.int64) << 26) | pay.astype(jnp.int64)
-        head_pl = jnp.full(out_size, -1, jnp.int64).at[tgt].set(
-            packed, mode="drop")
-        prop = lax.cummax(head_pl, 0)
-        props.append((prop & jnp.int64((1 << 26) - 1)).astype(I32))
+    if out_size <= 2 * P:
+        props = [jnp.asarray(pay, I32)[pc] for pay in payloads]
+    else:
+        props = []
+        for pay in payloads:
+            packed = (rank.astype(jnp.int64) << 26) | pay.astype(jnp.int64)
+            head_pl = jnp.full(out_size, -1, jnp.int64).at[tgt].set(
+                packed, mode="drop")
+            prop = lax.cummax(head_pl, 0)
+            props.append((prop & jnp.int64((1 << 26) - 1)).astype(I32))
 
-    return (jnp.maximum(p, 0), within, valid, total, *props)
+    return (pc, within, valid, total, *props)

@@ -67,6 +67,9 @@ class NestedTable:
     # group id IS the key and one packed gather yields (row | main_pos+1).
     direct: jax.Array | None = None      # u32[n]
     direct_shift: int = field(metadata=dict(static=True), default=0)
+    # Dense key-domain index (see chaining.py): key value -> group id in ONE
+    # gather when the key domain [0, domain) is small and statically known.
+    key_direct: jax.Array | None = None  # i32[domain], -1 = key absent
 
     @property
     def size(self):
@@ -178,7 +181,8 @@ def shrink_nested(table: NestedTable, cap: int) -> NestedTable:
 
 def build_nested_host(keys: jax.Array, num_buckets: int,
                       dense_direct: bool = False,
-                      n_keys: int | None = None) -> NestedTable:
+                      n_keys: int | None = None,
+                      key_domain: int | None = None) -> NestedTable:
     """Two-phase host-orchestrated build with a *compacted* directory.
 
     Phase 1 sorts the keys and reads the distinct-key count on the host (one
@@ -200,26 +204,32 @@ def build_nested_host(keys: jax.Array, num_buckets: int,
     if n_keys is not None:
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
-        return _build_nested_fused(keys, cap, num_buckets, dense_direct)
+        return _build_nested_fused(keys, cap, num_buckets, dense_direct,
+                                   key_domain)
     skey, srow, nk = sort_with_rows(keys)
     n_keys = int(nk)  # the one host sync
     cap = group_capacity(n_keys, keys.shape[0])
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
-                                dense_direct)
+                                dense_direct, key_domain)
 
 
-@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
-def _build_nested_fused(keys, cap, num_buckets, dense_direct):
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
+                                   "key_domain"))
+def _build_nested_fused(keys, cap, num_buckets, dense_direct,
+                        key_domain=None):
     from .layout import sort_with_rows
 
     skey, srow, _ = sort_with_rows(keys)
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
-                                dense_direct)
+                                dense_direct, key_domain)
 
 
-@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct"))
-def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
-    from .layout import compact_group_index, run_boundaries
+@partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
+                                   "key_domain"))
+def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
+                         key_domain=None):
+    from .layout import (compact_group_index, key_direct_index,
+                         run_boundaries)
 
     keys = keys.astype(U32)
     n = keys.shape[0]
@@ -254,7 +264,11 @@ def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct):
         direct = (groups.first_row.astype(U32)
                   | (pos1.astype(U32) << jnp.uint32(direct_shift)))
 
+    key_direct = (key_direct_index(groups, key_domain)
+                  if key_domain is not None and not dense_direct else None)
+
     return NestedTable(
+        key_direct=key_direct,
         groups=groups,
         main_pos_by_group=main_pos_by_group,
         bucket_main_len=bucket_main_len,
@@ -312,7 +326,11 @@ def probe_nested(
     h = murmur32(pk)
     b = (h % jnp.uint32(table.num_buckets)).astype(I32)
 
-    g, hit = lookup_auto(table.groups, pk, method)
+    if table.key_direct is not None:
+        from .layout import key_direct_lookup
+        g, hit = key_direct_lookup(table.key_direct, pk)  # ONE gather
+    else:
+        g, hit = lookup_auto(table.groups, pk, method)
     if mask is not None:
         hit = hit & mask
 

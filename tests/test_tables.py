@@ -372,3 +372,37 @@ def test_host_build_n_keys_hint_equivalent():
     r2 = probe_nested(n_hint, pk)
     assert int(r1.num_matches) == int(r2.num_matches)
     assert int(r1.num_cmps) == int(r2.num_cmps)
+
+
+def test_key_direct_domain_index_matches_oracle():
+    """Dense key-domain index: one-gather lookup, counters unchanged."""
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+
+    rng = np.random.default_rng(91)
+    bk = rng.integers(0, 300, 2000, dtype=np.uint32)   # dense domain [0, 300)
+    pk = rng.integers(0, 400, 700, dtype=np.uint32)    # includes out-of-domain
+    nb = 64
+    nk = int(np.unique(bk).size)
+
+    corc = ChainingOracle(bk, nb)
+    cpairs, cm, cc = corc.probe(pk, unique=False)
+    ct = build_chaining_host(bk, nb, n_keys=nk, key_domain=300)
+    assert ct.key_direct is not None and ct.key_direct.shape == (300,)
+    res = probe_chaining(ct, pk, unique=False)
+    assert int(res.num_matches) == cm and int(res.num_cmps) == cc
+    prow, brow, valid, total = materialize_chaining_join(ct, res, 8 * 700)
+    got = sorted((int(p), int(b)) for p, b, v in
+                 zip(np.asarray(prow), np.asarray(brow), np.asarray(valid)) if v)
+    assert got == sorted(cpairs)
+
+    norc = NestedOracle(bk, nb)
+    nested, nm, nc = norc.probe(pk)
+    nt = build_nested_host(bk, nb, n_keys=nk, key_domain=300)
+    nres = probe_nested(nt, pk)
+    assert int(nres.num_matches) == nm and int(nres.num_cmps) == nc
+    up, ub, uv, ut = unnest(nt, nres, 8 * 700)
+    want = sorted(norc.unnest(nested))
+    got_n = sorted((int(p), int(b)) for p, b, v in
+                   zip(np.asarray(up), np.asarray(ub), np.asarray(uv)) if v)
+    assert got_n == want
