@@ -205,10 +205,14 @@ class Experiment1:
 
         # warm-up: compile both strands (and the fence programs) outside the
         # timed region; steady state is what the reference's repetition
-        # protocol measures -- compilation is a one-time cost.
+        # protocol measures -- compilation is a one-time cost.  Free the
+        # warm-up buffers before timing: tables/outputs held alive across
+        # the loop inflate HBM pressure and distort the first allocation of
+        # every repetition.
         wt = build_fn(build_keys)
         fence(wt)
         fence(probe_fn(wt, probe_keys))
+        del wt
 
         _, reps = repeat_mintime(self.min_runtime_s, once,
                                  min_repeat=self.min_repeat)

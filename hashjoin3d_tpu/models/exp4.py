@@ -333,12 +333,15 @@ class Experiment4:
             durs["total"] += t3 - t0
             state["out"] = out
 
-        # compile outside the timed region (see exp1)
+        # compile outside the timed region (see exp1); free the warm-up
+        # tables before timing -- holding them across the loop inflates HBM
+        # pressure and distorts each repetition's first big allocation
         ws = build_fn(self._sa, num_dv_fk)
         wt = build_fn(self._ta, num_dv_fk)
         fence(ws)
         fence(wt)
         fence(probe_fn(ws, wt, self._rk))
+        del ws, wt
 
         _, reps = repeat_mintime(self.min_runtime_s, once,
                                  min_repeat=self.min_repeat)

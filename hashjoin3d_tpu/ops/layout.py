@@ -395,14 +395,16 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
     propagate to every output slot of their segment.  Two shape-dependent
     strategies (measured on v5e):
 
-    * ``out_size <= 2 * P`` (contraction, e.g. deferred-unnest pipelines where
-      most segments died): ONE out-sized gather ``pay[p]`` each (~10 ns/elem).
-      The packed-cummax alternative pays an int64 P-update scatter, which
-      alone costs ~65 ms at P=1M -- 16x its int32 twin.
-    * ``out_size > 2 * P`` (true expansion, e.g. 1M probes -> 16.8M rows):
-      ride a packed ``(rank << 26 | value)`` int64 cummax.  Here the gather
-      would cost out_size * 10 ns (~168 ms at 16.8M) per payload, more than
-      the scatter+scan combination.
+    * ``out_size <= 8 * P``: ONE out-sized gather ``pay[p]`` each
+      (~10 ns/elem).  The packed-cummax alternative pays an int64 scatter,
+      which costs ~11x its int32 twin (616 ms vs 56 ms for 4.2M updates
+      into a 16.8M buffer on v5e) -- at moderate expansion ratios the
+      gather is far cheaper.
+    * ``out_size > 8 * P`` (strong expansion, e.g. 1M probes -> 16.8M
+      rows): ride a packed ``(rank << 26 | value)`` int64 cummax.  Here the
+      per-payload gather costs out_size * 10 ns while the scatter's update
+      count P is comparatively tiny; measured end-to-end (exp-1 Nrs probe
+      strand) the packed path wins by ~30%.
 
     Returns ``(p, within, valid, total, *propagated_payloads)``.
     """
@@ -425,7 +427,7 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
     valid = (j < total) & (p >= 0)
     pc = jnp.maximum(p, 0)
 
-    if out_size <= 2 * P:
+    if out_size <= 8 * P:
         props = [jnp.asarray(pay, I32)[pc] for pay in payloads]
     else:
         props = []
