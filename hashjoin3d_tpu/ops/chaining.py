@@ -38,8 +38,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hashing import murmur32
-from .layout import (I32, U32, GroupIndex, expand, group_capacity,
+from .hashing import bucket_of, hash_key, murmur32
+from .layout import (I32, U32, GroupIndex, canon_key_dtype, expand,
+                     group_capacity,
                      key_group_index, lookup_auto,
                      shrink_group_arrays)
 
@@ -91,7 +92,7 @@ def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
     """
     import numpy as np
 
-    from .hashing import murmur32_np
+    from .hashing import bucket_of, hash_key, murmur32_np
 
     keys_np = np.asarray(keys_np)
     n = keys_np.size
@@ -115,12 +116,12 @@ def build_chaining(keys: jax.Array, num_buckets: int,
     pointer insertions into a ``Reservoir`` arena.  ``valid`` marks live rows
     (padded shuffle outputs / filtered batches).
     """
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
 
-    h = murmur32(keys)
-    b = (h % jnp.uint32(num_buckets)).astype(I32)
+    h = hash_key(keys)
+    b = bucket_of(h, num_buckets)
     if valid is not None:
         b = jnp.where(valid, b, num_buckets)  # park invalid rows past the end
 
@@ -235,13 +236,13 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
     from .layout import (compact_group_index, key_direct_index,
                          run_boundaries, sorted_histogram)
 
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
     groups = compact_group_index(keys, skey, srow, cap)
 
-    h = murmur32(keys)
-    b = (h % jnp.uint32(num_buckets)).astype(I32)
+    h = hash_key(keys)
+    b = bucket_of(h, num_buckets)
 
     # chain positions via bucket-run scans (gather-free); the bucket histogram
     # rides the same sort (sorted_histogram: bincount's scatter-add is ~35x
@@ -332,7 +333,7 @@ def probe_chaining(
     position.  ``mask`` marks which probe rows are live (the vectorized stand-in
     for upstream operators not calling ``step`` on filtered-out tuples).
     """
-    pk = probe_keys.astype(U32)
+    pk = probe_keys.astype(canon_key_dtype(probe_keys))
 
     if not unique and table.direct is not None:
         # Dense-direct, no early exit (plan CsrUU): the match row still comes
@@ -344,8 +345,8 @@ def probe_chaining(
         hit = in_range if mask is None else (in_range & mask)
         d = table.direct[jnp.minimum(pk, n - 1)]
         row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
-        h = murmur32(pk)
-        b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+        h = hash_key(pk)
+        b = bucket_of(h, table.num_buckets)
         cmps = table.bucket_len[b]
         if mask is not None:
             cmps = jnp.where(mask, cmps, 0)
@@ -377,8 +378,8 @@ def probe_chaining(
         n_miss = jnp.sum(live_miss.astype(I32))
 
         def miss_cmps(_):
-            h = murmur32(pk)
-            b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+            h = hash_key(pk)
+            b = bucket_of(h, table.num_buckets)
             return jnp.sum(jnp.where(live_miss, table.bucket_len[b], 0)
                            .astype(jnp.int64))
 
@@ -393,8 +394,8 @@ def probe_chaining(
             from_direct=True,
         )
 
-    h = murmur32(pk)
-    b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+    h = hash_key(pk)
+    b = bucket_of(h, table.num_buckets)
     blen = table.bucket_len[b]
 
     if table.key_direct is not None:

@@ -98,6 +98,23 @@ def murmur64_np(x):
     return x
 
 
+def hash_key(x):
+    """Murmur finalizer matched to the key width (util/hasht.hh:49-72).
+
+    The engine's tables are dtype-generic over u32/u64 join keys; bucket
+    assignment uses the same-width murmur finalizer the reference would
+    instantiate (``HashMurmur<uint32_t>`` / ``HashMurmur<uint64_t>``).
+    """
+    if jnp.dtype(x.dtype).itemsize == 8:
+        return murmur64(x)
+    return murmur32(x)
+
+
+def bucket_of(h, num_buckets: int):
+    """``hash % numBuckets`` in the hash's own width (ht_chaining.hh:139-140)."""
+    return (h % h.dtype.type(num_buckets)).astype(jnp.int32)
+
+
 # -- boncz hash (reference: util/hasht.hh:100-113) ----------------------------
 
 def boncz32(x):

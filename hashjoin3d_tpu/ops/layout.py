@@ -42,6 +42,27 @@ U32 = jnp.uint32
 UKEY_PAD = jnp.uint32(0xFFFFFFFF)
 
 
+def canon_key_dtype(keys: jax.Array):
+    """Canonical unsigned key dtype: 8-byte inputs stay u64, the rest u32.
+
+    The engine is dtype-generic over 32- and 64-bit keys (the reference
+    templates over arbitrary key types, e.g. ``HashMurmur<uint64_t>``);
+    composite keys pack into u64 via :func:`pack2u32`.
+    """
+    return jnp.uint64 if jnp.dtype(keys.dtype).itemsize == 8 else U32
+
+
+def ukey_pad(dtype):
+    """All-ones padding sentinel in the given unsigned key dtype."""
+    return jnp.array(jnp.iinfo(dtype).max, dtype)
+
+
+def pack2u32(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Pack a composite (hi, lo) u32 key pair into one u64 join key."""
+    return ((jnp.asarray(hi).astype(jnp.uint64) << jnp.uint64(32))
+            | jnp.asarray(lo).astype(jnp.uint64))
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GroupIndex:
@@ -81,7 +102,7 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
     batches); invalid rows join no group (``gid_by_row == -1``).  The masked
     path costs one extra sort key.
     """
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
 
@@ -112,7 +133,8 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
     group_len = jnp.where(group_start < n, next_start - group_start, 0).astype(I32)
 
     gvalid = group_start < n
-    ukey = jnp.where(gvalid, skey[jnp.minimum(group_start, n - 1)], UKEY_PAD)
+    ukey = jnp.where(gvalid, skey[jnp.minimum(group_start, n - 1)],
+                     ukey_pad(skey.dtype))
     first_row = jnp.where(
         gvalid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
 
@@ -174,6 +196,7 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
     large random gathers are avoided entirely (boundaries come from scans).
     """
     n = keys.shape[0]
+    kd = skey.dtype
     i = jnp.arange(n, dtype=I32)
     is_first, gid, run_start, run_len = run_boundaries(skey, jnp.int32(n))
 
@@ -187,7 +210,7 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
     # scatter is ~14x slower than a narrow scatter on v5e -- 1.47 s vs
     # 0.11 s at n=16.8M; four 1M gathers cost ~40 ms.)
     if n == 0:
-        ukey = jnp.full(cap, UKEY_PAD, U32)
+        ukey = jnp.full(cap, ukey_pad(kd), kd)
         group_start = jnp.zeros(cap, I32)
         group_len = jnp.zeros(cap, I32)
         first_row = jnp.zeros(cap, I32)
@@ -196,7 +219,7 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
         head = jnp.full(cap + 1, n, I32).at[tgt].set(i, mode="drop")[:cap]
         pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(gid[-1] + 1, cap)
         hp = jnp.minimum(head, n - 1)
-        ukey = jnp.where(pad, UKEY_PAD, skey[hp])
+        ukey = jnp.where(pad, ukey_pad(kd), skey[hp])
         group_start = jnp.where(pad, n, head)
         group_len = jnp.where(pad, 0, run_len[hp])
         first_row = jnp.where(pad, n, srow[hp])
@@ -220,7 +243,7 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
 @jax.jit
 def sort_with_rows(keys: jax.Array):
     """Phase 1 of the host build: sort keys with row payload + count distinct."""
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
     skey, srow = lax.sort((keys, jnp.arange(n, dtype=I32)), num_keys=1,
                           is_stable=True)
@@ -243,7 +266,7 @@ def lookup(groups: "GroupIndex", probe_keys: jax.Array):
     padding always has ``group_len == 0`` (and a real key of that value sorts
     before its padding, so ``side='left'`` finds the real slot first).
     """
-    pk = probe_keys.astype(U32)
+    pk = probe_keys.astype(groups.ukey.dtype)
     g = jnp.searchsorted(groups.ukey, pk, side="left").astype(I32)
     g = jnp.minimum(g, groups.ukey.shape[0] - 1)
     hit = (groups.ukey[g] == pk) & (groups.group_len[g] > 0)
@@ -262,7 +285,7 @@ def merge_lookup(groups: "GroupIndex", probe_keys: jax.Array,
     the last-seen directory entry with cumulative maxima, and scatter results
     back to probe positions.
     """
-    pk = probe_keys.astype(U32)
+    pk = probe_keys.astype(groups.ukey.dtype)
     n = groups.ukey.shape[0]
     P = pk.shape[0]
 
@@ -327,8 +350,8 @@ def key_direct_index(groups: "GroupIndex", key_domain: int) -> jax.Array:
 def key_direct_lookup(key_direct: jax.Array, probe_keys: jax.Array):
     """One-gather probe against a :func:`key_direct_index` map -> (g, hit)."""
     dom = key_direct.shape[0]
-    pk = probe_keys.astype(U32)
-    in_dom = pk < dom
+    pk = probe_keys.astype(canon_key_dtype(probe_keys))
+    in_dom = pk < canon_key_dtype(probe_keys)(dom)
     g = jnp.where(in_dom, key_direct[jnp.minimum(pk, dom - 1)], -1)
     return jnp.maximum(g, 0), g >= 0
 

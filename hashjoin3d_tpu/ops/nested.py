@@ -41,8 +41,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hashing import murmur32
-from .layout import (I32, U32, GroupIndex, expand, group_capacity,
+from .hashing import bucket_of, hash_key
+from .layout import (I32, U32, GroupIndex, canon_key_dtype, expand,
+                     group_capacity,
                      key_group_index, lookup_auto,
                      shrink_group_arrays)
 
@@ -93,15 +94,15 @@ def build_nested(keys: jax.Array, num_buckets: int,
     *naturally* a sort + run-length encode on TPU -- no per-tuple chain walks.
     ``valid`` marks live rows (padded shuffle outputs / filtered batches).
     """
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
 
     groups = key_group_index(keys, valid)
 
-    h_main = murmur32(groups.ukey)
+    h_main = hash_key(groups.ukey)
     valid = groups.group_len > 0
     b_main = jnp.where(
-        valid, (h_main % jnp.uint32(num_buckets)).astype(I32), num_buckets
+        valid, bucket_of(h_main, num_buckets), num_buckets
     )
 
     # Main-chain CSR over buckets (padding groups counted into bin nb, dropped).
@@ -231,14 +232,14 @@ def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
     from .layout import (compact_group_index, key_direct_index,
                          run_boundaries)
 
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
     groups = compact_group_index(keys, skey, srow, cap)
 
-    h_main = murmur32(groups.ukey)
+    h_main = hash_key(groups.ukey)
     validg = groups.group_len > 0
     b_main = jnp.where(validg,
-                       (h_main % jnp.uint32(num_buckets)).astype(I32),
+                       bucket_of(h_main, num_buckets),
                        num_buckets)
 
     # main-chain position: first-occurrence order within each bucket; the
@@ -290,7 +291,7 @@ def probe_nested(
     Emits at most one nested tuple per live probe row.  Cost is independent of
     duplicates-per-key: one binary search over distinct keys plus O(1) gathers.
     """
-    pk = probe_keys.astype(U32)
+    pk = probe_keys.astype(canon_key_dtype(probe_keys))
 
     if table.direct is not None:
         # Dense-direct fast path: one gather; key == group id, groups are
@@ -306,8 +307,8 @@ def probe_nested(
         n_miss = jnp.sum(live_miss.astype(I32))
 
         def miss_cmps(_):
-            h = murmur32(pk)
-            b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+            h = hash_key(pk)
+            b = bucket_of(h, table.num_buckets)
             return jnp.sum(jnp.where(live_miss, table.bucket_main_len[b], 0)
                            .astype(jnp.int64))
 
@@ -323,8 +324,8 @@ def probe_nested(
             direct_row=row,
         )
 
-    h = murmur32(pk)
-    b = (h % jnp.uint32(table.num_buckets)).astype(I32)
+    h = hash_key(pk)
+    b = bucket_of(h, table.num_buckets)
 
     if table.key_direct is not None:
         from .layout import key_direct_lookup

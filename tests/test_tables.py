@@ -406,3 +406,64 @@ def test_key_direct_domain_index_matches_oracle():
     got_n = sorted((int(p), int(b)) for p, b, v in
                    zip(np.asarray(up), np.asarray(ub), np.asarray(uv)) if v)
     assert got_n == want
+
+
+def test_u64_and_composite_keys():
+    """Tables are dtype-generic: u64 keys (HashMurmur<uint64_t> analogue) and
+    composite (hi, lo) keys packed via pack2u32 produce oracle-exact joins."""
+    import jax.numpy as jnp
+    from hashjoin3d_tpu.ops.layout import pack2u32
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+
+    rng = np.random.default_rng(3)
+    # u64 keys with values far above 2^32 (truncation would collide them)
+    base = (np.arange(40, dtype=np.uint64) << np.uint64(33)) | np.uint64(5)
+    bk = np.repeat(base, 3)  # 3 duplicates each
+    rng.shuffle(bk)
+    pk = np.concatenate([base[:20], base[:20] ^ np.uint64(1 << 32)])
+    rng.shuffle(pk)
+    nb = 16
+
+    # numpy multiset oracle (hash-independent properties)
+    want = sorted(
+        (int(p), int(b))
+        for p, k in enumerate(pk)
+        for b in np.nonzero(bk == k)[0])
+
+    for build in (build_chaining, lambda k, n: build_chaining_host(k, n)):
+        t = build(jnp.asarray(bk), nb)
+        assert t.keys.dtype == jnp.uint64
+        res = probe_chaining(t, jnp.asarray(pk))
+        prow, brow, valid, total = materialize_chaining_join(t, res, 4 * pk.size)
+        got = sorted((int(a), int(b)) for a, b, v in
+                     zip(np.asarray(prow), np.asarray(brow), np.asarray(valid))
+                     if v)
+        assert got == want
+        assert int(res.num_matches) == len(want)
+
+    nt = build_nested_host(jnp.asarray(bk), nb)
+    nres = probe_nested(nt, jnp.asarray(pk))
+    assert int(nres.num_matches) == 20  # one nested tuple per hit probe
+    up, ub, uv, ut = unnest(nt, nres, 4 * pk.size)
+    got_n = sorted((int(a), int(b)) for a, b, v in
+                   zip(np.asarray(up), np.asarray(ub), np.asarray(uv)) if v)
+    assert got_n == want
+
+    # composite (hi, lo) keys: pack -> u64 join
+    hi_b = rng.integers(0, 1000, 300, dtype=np.uint32)
+    lo_b = rng.integers(0, 7, 300, dtype=np.uint32)
+    hi_p = rng.integers(0, 1200, 150, dtype=np.uint32)
+    lo_p = rng.integers(0, 7, 150, dtype=np.uint32)
+    bk2 = np.asarray(pack2u32(hi_b, lo_b))
+    pk2 = np.asarray(pack2u32(hi_p, lo_p))
+    want2 = sorted(
+        (int(p), int(b))
+        for p in range(150)
+        for b in np.nonzero((hi_b == hi_p[p]) & (lo_b == lo_p[p]))[0])
+    t2 = build_chaining(jnp.asarray(bk2), 64)
+    r2 = probe_chaining(t2, jnp.asarray(pk2))
+    p2, b2, v2, _ = materialize_chaining_join(t2, r2, 8 * 150)
+    got2 = sorted((int(a), int(b)) for a, b, v in
+                  zip(np.asarray(p2), np.asarray(b2), np.asarray(v2)) if v)
+    assert got2 == want2
