@@ -9,6 +9,7 @@ of message passing.
 from .mesh import make_mesh, shard_axis
 from .shuffle import shard_of_key, partition_exchange
 from .dist_join import dist_nested_join, dist_chaining_join
+from .hier import dist_nested_join_2d, make_mesh_2d
 from .ring import dist_ring_nested_join
 from .skew import detect_skew, dist_broadcast_join, suggest_capacity
 from .pipeline import dist_filter_join_aggregate
@@ -17,6 +18,7 @@ __all__ = [
     "make_mesh", "shard_axis",
     "shard_of_key", "partition_exchange",
     "dist_nested_join", "dist_chaining_join",
+    "dist_nested_join_2d", "make_mesh_2d",
     "dist_ring_nested_join",
     "detect_skew", "dist_broadcast_join", "suggest_capacity",
     "dist_filter_join_aggregate",

@@ -213,3 +213,34 @@ def test_ring_join_matches_all_to_all(mesh, skewed):
     out2 = a2a(bk_d, pk_d)
     assert int(out["num_matches"]) == int(out2["num_matches"])
     assert _pairs(out2) == want
+
+
+def test_hier_2d_join_matches_flat(mesh):
+    """(host, chip) hierarchical two-hop exchange == flat 1D join == oracle."""
+    from hashjoin3d_tpu.parallel import (
+        dist_nested_join_2d, make_mesh_2d, shard_axis)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh2 = make_mesh_2d(2, 4)
+    rng = np.random.default_rng(29)
+    n_b, n_p = 1024, 2048
+    bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+
+    sh2 = NamedSharding(mesh2, P(("host", "chip")))
+    step2 = dist_nested_join_2d(mesh2, num_buckets_per_shard=64,
+                                build_capacity=n_b, probe_capacity=n_p,
+                                out_capacity=16 * n_p)
+    out = step2(jax.device_put(bk, sh2), jax.device_put(pk, sh2))
+    assert int(out["overflow"]) == 0
+
+    want = _oracle_pairs(bk, pk)
+    assert _pairs(out) == want
+    assert int(out["num_unnested"]) == len(want)
+
+    flat = dist_nested_join(mesh, num_buckets_per_shard=64,
+                            build_capacity=n_b, probe_capacity=n_p,
+                            out_capacity=16 * n_p)
+    out1 = flat(jax.device_put(bk, shard_axis(mesh)),
+                jax.device_put(pk, shard_axis(mesh)))
+    assert int(out["num_matches"]) == int(out1["num_matches"])
