@@ -11,7 +11,8 @@ from .shuffle import shard_of_key, partition_exchange
 from .dist_join import dist_nested_join, dist_chaining_join
 from .hier import dist_nested_join_2d, make_mesh_2d
 from .ring import dist_ring_nested_join
-from .skew import detect_skew, dist_broadcast_join, suggest_capacity
+from .skew import (detect_skew, dist_broadcast_join, dist_hybrid_nested_join,
+                   suggest_capacity)
 from .pipeline import dist_filter_join_aggregate
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "dist_nested_join", "dist_chaining_join",
     "dist_nested_join_2d", "make_mesh_2d",
     "dist_ring_nested_join",
-    "detect_skew", "dist_broadcast_join", "suggest_capacity",
+    "detect_skew", "dist_broadcast_join", "dist_hybrid_nested_join",
+    "suggest_capacity",
     "dist_filter_join_aggregate",
 ]

@@ -111,7 +111,7 @@ def test_broadcast_join_matches_oracle(mesh):
     rng.shuffle(pk)
 
     rep = detect_skew(pk, 8)
-    assert rep["strategy"] == "broadcast"
+    assert rep["strategy"] in ("broadcast", "hybrid")
     assert rep["top_key_fraction"] > 0.4
 
     from hashjoin3d_tpu.parallel import shard_axis
@@ -244,3 +244,56 @@ def test_hier_2d_join_matches_flat(mesh):
     out1 = flat(jax.device_put(bk, shard_axis(mesh)),
                 jax.device_put(pk, shard_axis(mesh)))
     assert int(out["num_matches"]) == int(out1["num_matches"])
+
+
+def test_hybrid_join_survives_skew_that_overflows_flat(mesh):
+    """Hybrid hot-key replication: correct under skew that the flat join's
+    per-shard probe capacity cannot absorb."""
+    from hashjoin3d_tpu.parallel import (
+        detect_skew, dist_hybrid_nested_join)
+
+    rng = np.random.default_rng(41)
+    n_b, n_p = 1024, 4096
+    # one key carries half of the probe volume and has 8 duplicates in build
+    hot = 123
+    bk = np.concatenate([np.full(8, hot, np.uint32),
+                         rng.integers(0, 400, n_b - 8, dtype=np.uint32)])
+    rng.shuffle(bk)
+    pk = np.concatenate([np.full(n_p // 2, hot, np.uint32),
+                         rng.integers(0, 500, n_p // 2, dtype=np.uint32)])
+    rng.shuffle(pk)
+
+    rep = detect_skew(pk, 8)
+    assert rep["strategy"] == "hybrid"
+    assert hot in rep["hot_keys"].tolist()
+
+    sh = shard_axis(mesh)
+    bk_d, pk_d = jax.device_put(bk, sh), jax.device_put(pk, sh)
+    tight_cap = int(n_p / 8 / 8 * 1.5)  # ~uniform per-(src,dst) + 50% slack
+
+    flat = dist_nested_join(mesh, num_buckets_per_shard=64,
+                            build_capacity=n_b, probe_capacity=tight_cap * 8,
+                            out_capacity=16 * n_p)
+    # exchange capacity is per (src, dst) pair: the hot key's owner shard
+    # receives ~n_p/16 rows from each source, far above tight_cap
+    flat_tight = dist_nested_join(mesh, num_buckets_per_shard=64,
+                                  build_capacity=n_b,
+                                  probe_capacity=tight_cap,
+                                  out_capacity=16 * n_p)
+    out_flat = flat_tight(bk_d, pk_d)
+    assert int(out_flat["overflow"]) > 0  # skew breaks the flat exchange
+
+    hyb = dist_hybrid_nested_join(
+        mesh, rep["hot_keys"], num_buckets_per_shard=64,
+        build_capacity=n_b, probe_capacity=tight_cap,
+        hot_build_capacity=64, out_capacity=16 * n_p)
+    out = hyb(bk_d, pk_d)
+    assert int(out["overflow"]) == 0  # same tight capacity survives
+
+    want = _oracle_pairs(bk, pk)
+    assert _pairs(out) == want
+    assert int(out["num_unnested"]) == len(want)
+
+    # sanity vs a roomy flat join
+    out_ok = flat(bk_d, pk_d)
+    assert int(out_ok["num_matches"]) == int(out["num_matches"])
