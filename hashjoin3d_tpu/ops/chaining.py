@@ -125,19 +125,19 @@ def build_chaining(keys: jax.Array, num_buckets: int,
     if valid is not None:
         b = jnp.where(valid, b, num_buckets)  # park invalid rows past the end
 
-    blen_ext = jnp.bincount(b, length=num_buckets + 1).astype(I32)
-    bucket_len = blen_ext[:num_buckets]
-    bucket_start = (jnp.cumsum(bucket_len) - bucket_len).astype(I32)
-
-    # Chain position per row: stable sort by bucket keeps insertion (row) order,
-    # giving each row its insertion rank within its bucket.
+    # Chain position per row: stable sort by bucket keeps insertion (row)
+    # order, giving each row its insertion rank within its bucket; the bucket
+    # histogram rides the same sort (bincount's scatter-add is ~35x slower).
+    from .layout import run_boundaries, sorted_histogram
     b_sorted, srow = lax.sort((b, row), num_keys=1, is_stable=True)
     vs = b_sorted < num_buckets
-    rank = jnp.arange(n, dtype=I32) - bucket_start[
-        jnp.minimum(b_sorted, num_buckets - 1)]
-    blen_sorted = bucket_len[jnp.minimum(b_sorted, num_buckets - 1)]
+    is_first_b, _, run_start_b, run_len_b = run_boundaries(
+        b_sorted.astype(U32), jnp.sum(vs.astype(I32)))
+    bucket_start, bucket_len = sorted_histogram(
+        b_sorted, num_buckets, is_first_b, run_len_b)
+    rank = jnp.arange(n, dtype=I32) - run_start_b
     # insertion rank 0 -> chain pos 0 (directory node); rank p>0 -> pos len-p
-    pos_sorted = jnp.where(rank == 0, 0, blen_sorted - rank)
+    pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
     pos_sorted = jnp.where(vs, pos_sorted, n)
     pos_by_row = jnp.zeros(n, I32).at[srow].set(pos_sorted)
 

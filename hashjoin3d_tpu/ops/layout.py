@@ -118,19 +118,18 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
         n_valid = (n - jnp.sum(inv)).astype(I32)
         vs = jnp.arange(n, dtype=I32) < n_valid  # valid in sorted order
 
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
-    )
-    if vs is not None:
-        is_first = is_first & vs
-    gid = jnp.cumsum(is_first.astype(I32)) - 1          # group id per sorted row
+    # Scan-based run structure: per-sorted-row run_start/run_len come from
+    # cummax/cummin (no [gid] gathers -- a 16.8M gather costs ~168 ms on
+    # v5e; jnp.nonzero(size=) would cost ~100 ms per 1M).
+    is_first, gid, run_start, run_len = run_boundaries(skey, n_valid)
     n_keys = jnp.maximum(gid[-1] + 1, 0)
 
-    # Offsets of each group's run inside the sorted order; padded with n.
-    group_start = jnp.nonzero(is_first, size=n, fill_value=n)[0].astype(I32)
-    next_start = jnp.concatenate([group_start[1:], jnp.array([n], I32)])
-    next_start = jnp.minimum(next_start, n_valid)  # last run must not absorb pads
-    group_len = jnp.where(group_start < n, next_start - group_start, 0).astype(I32)
+    i_sorted = jnp.arange(n, dtype=I32)
+    tgt_head = jnp.where(is_first, gid, n)
+    group_start = (jnp.full(n + 1, n, I32)
+                   .at[tgt_head].set(i_sorted, mode="drop")[:n])
+    group_len = (jnp.zeros(n + 1, I32)
+                 .at[tgt_head].set(run_len.astype(I32), mode="drop")[:n])
 
     gvalid = group_start < n
     ukey = jnp.where(gvalid, skey[jnp.minimum(group_start, n - 1)],
@@ -140,13 +139,12 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
 
     # Emission order per group: sorted position p=0 stays first, the rest are
     # reversed (head-insert into the sub-chain, ht_nested.hh:398-412).
-    p = jnp.arange(n, dtype=I32) - group_start[gid]
-    glen = group_len[gid]
-    q = jnp.where(p == 0, 0, glen - p)
-    target = group_start[gid] + q
+    p = i_sorted - run_start
+    q = jnp.where(p == 0, 0, run_len - p)
+    target = run_start + q
     if vs is not None:
         # invalid rows park at their own sorted slot (>= n_valid): bijective
-        target = jnp.where(vs, target, jnp.arange(n, dtype=I32))
+        target = jnp.where(vs, target, i_sorted)
     group_rows = jnp.zeros(n, I32).at[target].set(srow)
 
     gid_eff = gid if vs is None else jnp.where(vs, gid, -1)
@@ -172,6 +170,7 @@ def run_boundaries(skey: jax.Array, n_valid):
     per element.
     """
     n = skey.shape[0]
+    n_valid = jnp.asarray(n_valid).astype(I32)  # callers may pass int64 sums
     i = jnp.arange(n, dtype=I32)
     vs = i < n_valid
     is_first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])

@@ -105,23 +105,21 @@ def build_nested(keys: jax.Array, num_buckets: int,
         valid, bucket_of(h_main, num_buckets), num_buckets
     )
 
-    # Main-chain CSR over buckets (padding groups counted into bin nb, dropped).
-    blen_ext = jnp.bincount(b_main, length=num_buckets + 1).astype(I32)
-    bucket_main_len = blen_ext[:num_buckets]
-    bucket_main_start = (
-        jnp.cumsum(bucket_main_len) - bucket_main_len
-    ).astype(I32)
-
-    # Main-chain position: distinct keys ordered by first occurrence within each
-    # bucket (tail append, ht_nested.hh:299-308).
+    # Main-chain position: distinct keys ordered by first occurrence within
+    # each bucket (tail append, ht_nested.hh:299-308); the main-chain
+    # histogram rides the same sort (sorted_histogram avoids bincount's slow
+    # scatter-add, and run_start replaces a bucket_start gather).
+    from .layout import run_boundaries, sorted_histogram
     gid = jnp.arange(n, dtype=I32)
-    _, first_sorted, gid_sorted = lax.sort(
+    bm_s, _, gid_sorted = lax.sort(
         (b_main, groups.first_row, gid), num_keys=2
     )
-    b_resorted = b_main[gid_sorted]
-    pos_sorted = jnp.arange(n, dtype=I32) - bucket_main_start[
-        jnp.minimum(b_resorted, num_buckets - 1)
-    ]
+    n_valid_groups = jnp.sum(valid.astype(I32))
+    is_first_m, _, run_start_m, run_len_m = run_boundaries(
+        bm_s.astype(U32), n_valid_groups)
+    _, bucket_main_len = sorted_histogram(bm_s, num_buckets, is_first_m,
+                                          run_len_m)
+    pos_sorted = jnp.arange(n, dtype=I32) - run_start_m
     main_pos_by_group = jnp.zeros(n, I32).at[gid_sorted].set(pos_sorted)
 
     direct = None
