@@ -92,10 +92,15 @@ def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
     """
     import numpy as np
 
-    from .hashing import bucket_of, hash_key, murmur32_np
+    from .hashing import murmur32_np
 
     keys_np = np.asarray(keys_np)
     n = keys_np.size
+    if keys_np.dtype.itemsize == 8:
+        # 64-bit keys bucket with murmur64 (hash_key); the occupancy bound
+        # below would test the wrong hash's histogram, and the packed direct
+        # word is u32 -- dense-direct stays a 32-bit-key layout.
+        return False
     if n == 0 or (n & (n - 1)) != 0:
         return False
     if keys_np.max() != n - 1 or np.bincount(keys_np, minlength=n).max() != 1:

@@ -60,10 +60,10 @@ def _exchange_1hop(axis_name: str, dest: jax.Array, cols: list[jax.Array],
     sorted_ops = lax.sort(ops, num_keys=1, is_stable=True)
     dest_s, cols_s = sorted_ops[0], sorted_ops[1:]
 
-    counts = jnp.bincount(dest_s, length=num_groups + 1).astype(I32)[:num_groups]
-    starts = (jnp.cumsum(counts) - counts).astype(I32)
-    within = jnp.arange(n, dtype=I32) - starts[
-        jnp.minimum(dest_s, num_groups - 1)]
+    # scan-based within-destination rank (no bincount: see shuffle.py)
+    from ..ops.layout import run_boundaries
+    _, _, run_start, _ = run_boundaries(dest_s.astype(U32), jnp.int32(n))
+    within = jnp.arange(n, dtype=I32) - run_start
     live = dest_s < num_groups
     fits = live & (within < capacity)
     dropped = jnp.sum((live & ~fits).astype(jnp.int64))

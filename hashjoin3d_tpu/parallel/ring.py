@@ -81,7 +81,9 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
 
         out_p = jnp.full(out_capacity, -1, I32)
         out_b = jnp.full(out_capacity, -1, I32)
-        offset = jnp.int64(0)
+        offset = jnp.int64(0)     # materialized rows appended so far
+        unnested = jnp.int64(0)   # true unnest count (c_unnest semantics)
+        step_dropped = jnp.int64(0)
         matches = jnp.int64(0)
         cmps = jnp.int64(0)
 
@@ -91,14 +93,21 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             prow_g = vrow[jnp.maximum(prow_l, 0)]
             brow_g = bpay["row"][jnp.maximum(brow_l, 0)]
 
-            # Append this step's valid rows at the running offset.
+            # Append this step's valid rows at the running offset.  unnest()
+            # materializes at most step_cap rows but reports the true total;
+            # advance by the MATERIALIZED count and count the rest as
+            # overflow, or truncation would silently leave (-1,-1) rows
+            # marked valid.
+            materialized = jnp.minimum(total, step_cap)
             pos = jnp.cumsum(ovalid.astype(I32)) - 1
             idx = jnp.where(ovalid, offset.astype(I32) + pos, out_capacity)
             out_p = out_p.at[idx].set(jnp.where(ovalid, prow_g, -1),
                                       mode="drop")
             out_b = out_b.at[idx].set(jnp.where(ovalid, brow_g, -1),
                                       mode="drop")
-            offset = offset + total
+            offset = offset + materialized
+            step_dropped = step_dropped + (total - materialized)
+            unnested = unnested + total
             matches = matches + res.num_matches
             cmps = cmps + res.num_cmps
 
@@ -106,14 +115,14 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                 vkeys = lax.ppermute(vkeys, axis, fwd)
                 vrow = lax.ppermute(vrow, axis, fwd)
 
-        dropped = jnp.maximum(offset - out_capacity, 0)
+        dropped = jnp.maximum(offset - out_capacity, 0) + step_dropped
         out_valid = jnp.arange(out_capacity, dtype=I32) < jnp.minimum(
             offset, out_capacity).astype(I32)
 
         return dict(
             num_matches=lax.psum(matches, axis),
             num_cmps=lax.psum(cmps, axis),
-            num_unnested=lax.psum(offset, axis),
+            num_unnested=lax.psum(unnested, axis),
             overflow=bovf + lax.psum(dropped, axis),
             probe_row=out_p,
             build_row=out_b,

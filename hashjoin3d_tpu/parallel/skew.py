@@ -60,6 +60,7 @@ def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0,
     top_frac = counts.max() / ks.size
 
     hot_mask = counts * num_shards > ks.size
+    n_hot = int(np.count_nonzero(hot_mask))  # pre-truncation count
     order = np.argsort(counts[hot_mask])[::-1][:max_hot]
     hot_keys = uniq[hot_mask][order]
 
@@ -70,7 +71,9 @@ def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0,
 
     if top_frac * num_shards <= 1.0:
         strategy = "partition"
-    elif hot_keys.size <= max_hot and top_frac < 0.9:
+    elif n_hot <= max_hot and top_frac < 0.9:
+        # hybrid only if the REPLICATED set covers every hot key; with more
+        # hot keys than max_hot the leftovers would still blow the exchange
         strategy = "hybrid"
     else:
         strategy = "broadcast"

@@ -297,3 +297,37 @@ def test_hybrid_join_survives_skew_that_overflows_flat(mesh):
     # sanity vs a roomy flat join
     out_ok = flat(bk_d, pk_d)
     assert int(out_ok["num_matches"]) == int(out["num_matches"])
+
+
+def test_ring_join_step_truncation_reported(mesh):
+    """A ring step whose unnest exceeds step_out_capacity must report
+    overflow, never emit phantom valid (-1,-1) rows (code-review repro)."""
+    from hashjoin3d_tpu.parallel import dist_ring_nested_join
+
+    bk = np.full(16, 5, np.uint32)   # 16 duplicates of one key
+    pk = np.full(16, 5, np.uint32)   # every probe expands to 16 rows
+    sh = shard_axis(mesh)
+    ring = dist_ring_nested_join(mesh, num_buckets_per_shard=8,
+                                 build_capacity=16, out_capacity=256,
+                                 step_out_capacity=8)  # deliberately tiny
+    out = ring(jax.device_put(bk, sh), jax.device_put(pk, sh))
+    assert int(out["overflow"]) > 0
+    pr = np.asarray(out["probe_row"])[np.asarray(out["out_valid"])]
+    br = np.asarray(out["build_row"])[np.asarray(out["out_valid"])]
+    assert (pr >= 0).all() and (br >= 0).all()  # no phantom rows
+    # true c_unnest is still reported
+    assert int(out["num_unnested"]) == 16 * 16
+
+
+def test_detect_skew_hybrid_requires_full_hot_coverage():
+    """hybrid must not be recommended when hot keys exceed max_hot
+    (the returned set would be incomplete; code-review repro)."""
+    from hashjoin3d_tpu.parallel import detect_skew
+
+    # 40 keys, each ~1/40 of the volume; with 64 shards all are "hot"
+    pk = np.repeat(np.arange(40, dtype=np.uint32), 100)
+    rep = detect_skew(pk, 64, max_hot=16)
+    assert rep["strategy"] != "hybrid"
+    rep2 = detect_skew(pk, 64, max_hot=40)
+    assert rep2["strategy"] == "hybrid"
+    assert len(rep2["hot_keys"]) == 40
