@@ -1,35 +1,50 @@
 """Hash aggregate: vectorized group-by over key columns.
 
 Part of the engine's operator set alongside the joins (BASELINE.json north
-star).  The reference has no aggregate operator; the natural TPU design reuses
-the distinct-key directory (``layout.key_group_index`` -- the same structure as
-the 3D hash table's MainNode directory) and computes per-group reductions with
-segment scatters, which XLA fuses with the surrounding pipeline.
+star).  The reference has no aggregate operator; the natural TPU design sorts
+each value column by key and extracts per-group reductions at the run
+boundaries of the sorted order -- the same sort+scan discipline as the table
+builds.
+
+Scatter-reductions are deliberately absent: an int64 scatter-add costs
+~2.3 s for 16.8M rows into 1M groups on v5e, while sorted-run extraction
+measures ~0.24 s for the same exact-int64 reduction, and min/max fall out of
+the value-sorted run boundaries for free.
 
 Aggregates: count, sum, min, max (and mean = sum/count).  Results are padded
-group-major arrays (valid prefix ``n_keys``), matching the engine's static
-shape discipline.
+group-major arrays (valid prefix ``n_keys``); pass the exact distinct-key
+count via ``n_keys=`` (cardinality statistics) to get a compacted directory
+and proportionally cheaper boundary extraction.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from .layout import GroupIndex, key_group_index
+from .layout import (GroupIndex, I32, canon_key_dtype, group_capacity,
+                     run_boundaries, ukey_pad)
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class AggregateResult:
-    """Per-distinct-key aggregates; rows beyond ``n_keys`` are padding."""
+    """Per-distinct-key aggregates; rows beyond ``n_keys`` are padding.
+
+    ``groups`` carries the distinct-key directory (ukey/group_start/
+    group_len); its row-level arrays (group_rows/first_row/gid_by_row) are
+    not materialized for aggregation (empty).
+    """
 
     groups: GroupIndex
-    count: jax.Array          # i32[n]
-    sums: dict                # name -> i64[n] (or f32 for float inputs)
-    mins: dict                # name -> input dtype[n]
-    maxs: dict                # name -> input dtype[n]
+    count: jax.Array          # i32[cap]
+    sums: dict                # name -> i64[cap] (or float dtype for floats)
+    mins: dict                # name -> input dtype[cap]
+    maxs: dict                # name -> input dtype[cap]
 
     @property
     def keys(self):
@@ -40,40 +55,103 @@ class AggregateResult:
         return self.groups.n_keys
 
 
-@jax.jit
 def hash_aggregate(keys: jax.Array, values: dict,
-                   mask: jax.Array | None = None) -> AggregateResult:
+                   mask: jax.Array | None = None,
+                   n_keys: int | None = None) -> AggregateResult:
     """Group ``values`` columns by ``keys``; compute count/sum/min/max per key.
 
-    ``values`` is a dict of equal-length columns.  ``mask`` excludes rows.
-    One sort (the group index) + one scatter per aggregate -- no chains.
+    ``values`` is a dict of equal-length columns; ``mask`` excludes rows;
+    ``n_keys`` (optional, exact or larger) compacts the output directory.
     """
-    groups = key_group_index(keys, mask)
+    cap = keys.shape[0] if n_keys is None else group_capacity(
+        n_keys, keys.shape[0])
+    names = tuple(sorted(values))
+    return _hash_aggregate(keys, tuple(values[k] for k in names), names,
+                           mask, cap)
+
+
+@partial(jax.jit, static_argnames=("names", "cap"))
+def _hash_aggregate(keys, cols, names, mask, cap):
+    keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
-    gid = groups.gid_by_row  # -1 for masked-out rows
-    tgt = jnp.where(gid >= 0, gid, n)  # park dead rows past the end
+
+    if n == 0:
+        groups = GroupIndex(
+            ukey=jnp.full(cap, ukey_pad(keys.dtype), keys.dtype),
+            group_start=jnp.zeros(cap, I32), group_len=jnp.zeros(cap, I32),
+            group_rows=jnp.zeros(0, I32), first_row=jnp.zeros(0, I32),
+            gid_by_row=jnp.zeros(0, I32), n_keys=jnp.int32(0))
+        zero = {nm: jnp.zeros(cap, jnp.int64) for nm in names}
+        return AggregateResult(groups=groups, count=jnp.zeros(cap, I32),
+                               sums=dict(zero), mins=dict(zero),
+                               maxs=dict(zero))
+
+    skey = None
+    sorted_cols = []
+    for col in cols:
+        if mask is None:
+            sk, col_s = lax.sort((keys, col), num_keys=2)
+            n_valid = jnp.int32(n)
+        else:
+            inv = (~mask).astype(I32)
+            _, sk, col_s = lax.sort((inv, keys, col), num_keys=3)
+            n_valid = (n - jnp.sum(inv)).astype(I32)
+        skey = sk  # identical across columns: same (validity, key) major sort
+        sorted_cols.append(col_s)
+    if skey is None:  # count-only aggregation
+        if mask is None:
+            skey = lax.sort(keys)
+            n_valid = jnp.int32(n)
+        else:
+            inv = (~mask).astype(I32)
+            _, skey = lax.sort((inv, keys), num_keys=2)
+            n_valid = (n - jnp.sum(inv)).astype(I32)
+
+    is_first, gid, run_start, run_len = run_boundaries(skey, n_valid)
+    n_groups = jnp.maximum(gid[-1] + 1, 0)
+
+    # compact directory: head positions scattered once, columns gathered
+    tgt = jnp.where(is_first, gid, cap)
+    head = (jnp.full(cap + 1, n, I32)
+            .at[tgt].set(jnp.arange(n, dtype=I32), mode="drop")[:cap])
+    pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(n_groups, cap)
+    hp = jnp.minimum(head, max(n - 1, 0))
+    glen = jnp.where(pad, 0, run_len[hp]) if n else jnp.zeros(cap, I32)
+    ukey = (jnp.where(pad, ukey_pad(skey.dtype), skey[hp]) if n
+            else jnp.full(cap, ukey_pad(skey.dtype), skey.dtype))
+    gvalid = glen > 0
+    startpos = jnp.where(gvalid, head, 0)
+    endpos = jnp.minimum(jnp.where(gvalid, head + glen - 1, 0),
+                         max(n - 1, 0))
 
     sums, mins, maxs = {}, {}, {}
-    for name, col in values.items():
-        if jnp.issubdtype(col.dtype, jnp.floating):
-            acc_dtype = col.dtype
-            big = jnp.array(jnp.inf, col.dtype)
-            small = jnp.array(-jnp.inf, col.dtype)
+    for name, col_s in zip(names, sorted_cols):
+        if jnp.issubdtype(col_s.dtype, jnp.floating):
+            acc_dtype = col_s.dtype
+            big = jnp.array(jnp.inf, col_s.dtype)
+            small = jnp.array(-jnp.inf, col_s.dtype)
         else:
             acc_dtype = jnp.int64
-            big = jnp.iinfo(col.dtype).max
-            small = jnp.iinfo(col.dtype).min
-        sums[name] = (jnp.zeros(n, acc_dtype)
-                      .at[tgt].add(col.astype(acc_dtype), mode="drop"))
-        mins[name] = (jnp.full(n, big, col.dtype)
-                      .at[tgt].min(col, mode="drop"))
-        maxs[name] = (jnp.full(n, small, col.dtype)
-                      .at[tgt].max(col, mode="drop"))
+            big = jnp.iinfo(col_s.dtype).max
+            small = jnp.iinfo(col_s.dtype).min
 
-    return AggregateResult(
-        groups=groups,
-        count=groups.group_len,
-        sums=sums,
-        mins=mins,
-        maxs=maxs,
+        cs = jnp.cumsum(col_s.astype(acc_dtype))
+        ce = cs[endpos]
+        c0 = jnp.where(startpos > 0, cs[jnp.maximum(startpos - 1, 0)],
+                       jnp.zeros((), acc_dtype))
+        sums[name] = jnp.where(gvalid, ce - c0, 0)
+        # values ascend within each run: min at the head, max at the tail
+        mins[name] = jnp.where(gvalid, col_s[startpos], big)
+        maxs[name] = jnp.where(gvalid, col_s[endpos], small)
+
+    groups = GroupIndex(
+        ukey=ukey,
+        group_start=jnp.where(pad, n, head),
+        group_len=glen,
+        group_rows=jnp.zeros(0, I32),
+        first_row=jnp.zeros(0, I32),
+        gid_by_row=jnp.zeros(0, I32),
+        n_keys=n_groups.astype(I32),
     )
+    return AggregateResult(groups=groups, count=glen, sums=sums,
+                           mins=mins, maxs=maxs)

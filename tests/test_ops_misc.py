@@ -185,3 +185,30 @@ def test_checkpoint_roundtrip(tmp_path):
     c2 = load_table(tmp_path / "c.npz")
     assert c2.direct is not None and c2.num_buckets == 64
     np.testing.assert_array_equal(np.asarray(c.direct), np.asarray(c2.direct))
+
+
+def test_hash_aggregate_n_keys_hint_and_empty():
+    """Compact-directory aggregation (n_keys hint) equals the padded path."""
+    rng = np.random.default_rng(77)
+    keys = jnp_arr(rng.integers(0, 50, 500, dtype=np.uint32))
+    vals = jnp_arr(rng.integers(-100, 100, 500, dtype=np.int32))
+    full = hash_aggregate(keys, {"v": vals})
+    nk = int(full.groups.n_keys)
+    hinted = hash_aggregate(keys, {"v": vals}, n_keys=nk)
+    assert int(hinted.groups.n_keys) == nk
+    np.testing.assert_array_equal(np.asarray(full.sums["v"])[:nk],
+                                  np.asarray(hinted.sums["v"])[:nk])
+    np.testing.assert_array_equal(np.asarray(full.mins["v"])[:nk],
+                                  np.asarray(hinted.mins["v"])[:nk])
+    np.testing.assert_array_equal(np.asarray(full.maxs["v"])[:nk],
+                                  np.asarray(hinted.maxs["v"])[:nk])
+    np.testing.assert_array_equal(np.asarray(full.keys)[:nk],
+                                  np.asarray(hinted.keys)[:nk])
+
+    empty = hash_aggregate(jnp_arr(np.zeros(0, np.uint32)), {}, n_keys=1)
+    assert int(empty.groups.n_keys) == 0
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
