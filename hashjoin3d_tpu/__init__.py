@@ -29,4 +29,7 @@ from jax import config as _config
 
 _config.update("jax_enable_x64", True)
 
+from .api import JoinResult, join  # noqa: E402  (needs x64 set first)
+
 __version__ = "0.1.0"
+__all__ = ["join", "JoinResult"]

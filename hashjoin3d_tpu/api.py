@@ -1,0 +1,105 @@
+"""One-call join API: the friendly front door over the table/probe/unnest ops.
+
+For users who want the reference's end result -- joined row-id pairs plus the
+plan counters -- without wiring build/probe/expand by hand:
+
+    import hashjoin3d_tpu as hj
+    pairs = hj.join(build_keys, probe_keys)          # 3D table by default
+    pairs.probe_rows, pairs.build_rows               # np.int32 arrays
+    pairs.num_matches, pairs.num_cmps, pairs.num_results
+
+Semantics match the reference operators exactly (same counters the CSV
+differential tests pin).  Output sizing is handled internally: a first pass
+computes exact match counts on device, the result buffers are then allocated
+exactly (one host sync -- this is a convenience API; latency-critical
+pipelines should use the ops layer with static capacities).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class JoinResult:
+    """Materialized join: global row-id pairs + reference-exact counters."""
+
+    probe_rows: np.ndarray   # i32[num_results]
+    build_rows: np.ndarray   # i32[num_results]
+    num_matches: int         # probe-op _count (c_htProbe)
+    num_cmps: int            # chain comparisons (c_htProbeCmp)
+    num_results: int         # emitted tuples (c_top; == unnest count for 3D)
+
+    def pairs(self):
+        return list(zip(self.probe_rows.tolist(), self.build_rows.tolist()))
+
+
+def join(build_keys, probe_keys, how: str = "nested",
+         num_buckets: int | None = None, unique: bool = False,
+         n_keys: int | None = None, key_domain: int | None = None,
+         backend: str = "device") -> JoinResult:
+    """Equi-join ``probe_keys`` against ``build_keys``; returns row-id pairs.
+
+    ``how``: "nested" (3D hash table, ``ht_nested.hh``) or "chaining"
+    (``ht_chaining.hh``).  ``unique`` = the chaining plan's IsBuildKeyUnique
+    early exit.  ``num_buckets`` defaults to the distinct-key count (the
+    experiments' ``#dv / b`` policy with b=1).  ``n_keys`` / ``key_domain``
+    are the optional build hints (see ``build_*_host``).  ``backend``:
+    "device" (TPU ops) or "host" (the native C++ engine -- exact same
+    counters, right choice for tiny ad-hoc queries where device dispatch
+    latency dominates).
+    """
+    if how not in ("nested", "chaining"):
+        raise ValueError(f"how must be 'nested' or 'chaining', got {how!r}")
+
+    bk = np.ascontiguousarray(build_keys)
+    pk = np.ascontiguousarray(probe_keys)
+
+    if backend == "host":
+        from .hostengine import host_chaining_join, host_nested_join
+        nb = num_buckets or max(1, int(np.unique(bk).size))
+        if how == "chaining":
+            op, ob, m, c = host_chaining_join(bk, pk, nb, unique=unique)
+            return JoinResult(op, ob, m, c, op.size)
+        op, ob, m, c, u = host_nested_join(bk, pk, nb)
+        return JoinResult(op, ob, m, c, u)
+    if backend != "device":
+        raise ValueError(f"backend must be 'device' or 'host', got {backend!r}")
+
+    import jax
+
+    from .ops import probe_chaining, probe_nested, unnest
+    from .ops import materialize_chaining_join
+    from .ops.chaining import build_chaining_host
+    from .ops.nested import build_nested_host
+
+    if num_buckets is None:
+        num_buckets = max(1, n_keys if n_keys is not None
+                          else int(np.unique(bk).size))
+
+    if how == "chaining":
+        table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
+                                    key_domain=key_domain)
+        res = probe_chaining(table, pk, unique=unique)
+        total = int(res.num_matches)  # exact: allocate once
+        out = max(1, total)
+        prow, brow, valid, _ = materialize_chaining_join(
+            table, res, out, unique=unique)
+    else:
+        table = build_nested_host(bk, num_buckets, n_keys=n_keys,
+                                  key_domain=key_domain)
+        res = probe_nested(table, pk)
+        total = int(jax.numpy.sum(res.group_len))
+        out = max(1, total)
+        prow, brow, valid, _ = unnest(table, res, out)
+
+    v = np.asarray(valid)
+    return JoinResult(
+        probe_rows=np.asarray(prow)[v],
+        build_rows=np.asarray(brow)[v],
+        num_matches=int(res.num_matches),
+        num_cmps=int(res.num_cmps),
+        num_results=total,
+    )
