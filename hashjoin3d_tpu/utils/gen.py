@@ -12,9 +12,11 @@ backends:
   used when no C++ toolchain is available.  Tested for equality with native.
 
 Distribution names/codes follow the reference (``GenRandIntVec.hh:24-34``):
-key, div, uni, exp, norm, zipf, self, pois.  The python backend supports the
-subset the experiments use (key/div/uni/zipf/self); exp/norm/pois require the
-native backend (their libstdc++ sampling protocols are not replicated here).
+key, div, uni, exp, norm, zipf, self, pois.  The python backend covers
+key/div/uni/zipf/self/exp/norm with bit-identical streams (libstdc++
+exponential and Marsaglia-polar normal protocols replicated in
+``mt19937.py``); pois requires the native backend (libstdc++'s poisson
+rejection machinery is not replicated).
 """
 
 from __future__ import annotations
@@ -121,11 +123,24 @@ def _py_gen_int_vec(dist, card, maxv, shift, param, flags, order, rng):
         if dist == KSELF:
             u = rng() / 4294967295.0
             return int(maxv * u ** (np.log(param) / np.log(1.0 - param)))
+        if dist == KEXP:
+            # genval_exp (GenRandIntVec.cc:272-274)
+            import math
+            return int(math.floor(exp_d(rng) * maxv + shift)) % maxv
+        if dist == KNORM:
+            # genval_norm (GenRandIntVec.cc:277-288): truncate, retry until
+            # the double lands in [0, max)
+            while True:
+                v = norm_d(rng)
+                if 0 <= v < maxv:
+                    return (int(v) + shift) % maxv
         raise NotImplementedError(
             f"python backend does not support dist={DIST_NAMES[dist]}; "
             "build the native library")
 
     zipf = pymt.ZipfSampler(maxv, param) if dist == KZIPF else None
+    exp_d = pymt.StdExponential(param) if dist == KEXP else None
+    norm_d = pymt.StdNormal(maxv / 2.0, param) if dist == KNORM else None
 
     if fill or shuf:
         freq = np.ones(maxv, np.uint32) if fill else np.zeros(maxv, np.uint32)

@@ -188,6 +188,52 @@ def std_uniform_real(rng: MT19937, a: float, b: float) -> float:
     return generate_canonical(rng) * (b - a) + a
 
 
+class StdExponential:
+    """libstdc++ ``std::exponential_distribution<double>`` replica.
+
+    ``-log(1 - U)/lambda`` with U from :func:`generate_canonical` -- same
+    draw protocol, so streams are bit-identical to the native generator.
+    """
+
+    def __init__(self, lambd: float):
+        self.lambd = lambd
+
+    def __call__(self, rng: MT19937) -> float:
+        return -math.log(1.0 - generate_canonical(rng)) / self.lambd
+
+
+class StdNormal:
+    """libstdc++ ``std::normal_distribution<double>`` replica.
+
+    Marsaglia polar method with the saved-deviate cache, reproducing
+    libstdc++'s exact draw order and accept condition (``r2 > 1 or r2 == 0``
+    rejects; returns ``y*mult`` first, caches ``x*mult``).
+    """
+
+    def __init__(self, mean: float, stddev: float):
+        self.mean = mean
+        self.stddev = stddev
+        self._saved = 0.0
+        self._saved_available = False
+
+    def __call__(self, rng: MT19937) -> float:
+        if self._saved_available:
+            self._saved_available = False
+            ret = self._saved
+        else:
+            while True:
+                x = 2.0 * generate_canonical(rng) - 1.0
+                y = 2.0 * generate_canonical(rng) - 1.0
+                r2 = x * x + y * y
+                if not (r2 > 1.0 or r2 == 0.0):
+                    break
+            mult = math.sqrt(-2.0 * math.log(r2) / r2)
+            self._saved = x * mult
+            self._saved_available = True
+            ret = y * mult
+        return ret * self.stddev + self.mean
+
+
 # -- zipf sampler (same numerics as the reference's, see module docstring) ------
 
 _EPS = 1e-8

@@ -31,6 +31,14 @@ def main():
                     help="force the CPU backend (virtual mesh)")
     args = ap.parse_args()
 
+    if args.cpu and args.devices > 1:
+        # must precede the jax import: host-platform device count is fixed
+        # at backend initialization
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={args.devices}")
+
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -99,3 +99,21 @@ def test_exp4_matches_reference_golden():
     sa, ta = gen.exp4_data(4, 1, 2, 2, 3)
     np.testing.assert_array_equal(sa, _load_golden_relation(rdir / "S.txt", 1))
     np.testing.assert_array_equal(ta, _load_golden_relation(rdir / "T.txt", 1))
+
+
+def test_python_exp_norm_match_native():
+    """libstdc++ exponential/normal replicas: bit-identical streams
+    (pois remains native-only)."""
+    from hashjoin3d_tpu.utils.gen import gen_rand_int_vec, native_lib
+    if native_lib() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    for dist, param in (("exp", 2.0), ("norm", 50.0)):
+        a = gen_rand_int_vec(dist, 4000, 400, param=param, backend="native")
+        b = gen_rand_int_vec(dist, 4000, 400, param=param, backend="python")
+        np.testing.assert_array_equal(a, b)
+        a2 = gen_rand_int_vec(dist, 1500, 300, param=param, flags=3,
+                              order=-1, backend="native")
+        b2 = gen_rand_int_vec(dist, 1500, 300, param=param, flags=3,
+                              order=-1, backend="python")
+        np.testing.assert_array_equal(a2, b2)
