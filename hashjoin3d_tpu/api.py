@@ -22,6 +22,19 @@ from dataclasses import dataclass
 import numpy as np
 
 
+_sum_i64_jit = None
+
+
+def _sum_i64(x):
+    """Module-level jitted total (compiled once per shape, not per call)."""
+    global _sum_i64_jit
+    if _sum_i64_jit is None:
+        import jax
+        import jax.numpy as jnp
+        _sum_i64_jit = jax.jit(lambda v: jnp.sum(v.astype(jnp.int64)))
+    return _sum_i64_jit(x)
+
+
 @dataclass(frozen=True)
 class JoinResult:
     """Materialized join: global row-id pairs + reference-exact counters."""
@@ -53,20 +66,35 @@ def join(build_keys, probe_keys, how: str = "nested",
     """
     if how not in ("nested", "chaining"):
         raise ValueError(f"how must be 'nested' or 'chaining', got {how!r}")
+    if backend not in ("device", "host"):
+        raise ValueError(f"backend must be 'device' or 'host', got {backend!r}")
 
     bk = np.ascontiguousarray(build_keys)
     pk = np.ascontiguousarray(probe_keys)
 
+    empty = np.zeros(0, np.int32)
+    if bk.size == 0 or pk.size == 0:
+        # the static-shape ops layer assumes non-empty columns
+        return JoinResult(empty, empty, 0, 0, 0)
+
+    # Same bucket policy on both backends (counters are bucket-dependent):
+    # explicit num_buckets > n_keys hint > exact distinct count.
+    if num_buckets is None:
+        num_buckets = max(1, n_keys if n_keys is not None
+                          else int(np.unique(bk).size))
+
     if backend == "host":
+        if bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8:
+            raise ValueError(
+                "backend='host' supports 32-bit keys only (the native "
+                "engine would silently truncate u64); use backend='device'")
         from .hostengine import host_chaining_join, host_nested_join
-        nb = num_buckets or max(1, int(np.unique(bk).size))
         if how == "chaining":
-            op, ob, m, c = host_chaining_join(bk, pk, nb, unique=unique)
+            op, ob, m, c = host_chaining_join(bk, pk, num_buckets,
+                                              unique=unique)
             return JoinResult(op, ob, m, c, op.size)
-        op, ob, m, c, u = host_nested_join(bk, pk, nb)
+        op, ob, m, c, u = host_nested_join(bk, pk, num_buckets)
         return JoinResult(op, ob, m, c, u)
-    if backend != "device":
-        raise ValueError(f"backend must be 'device' or 'host', got {backend!r}")
 
     import jax
 
@@ -75,31 +103,29 @@ def join(build_keys, probe_keys, how: str = "nested",
     from .ops.chaining import build_chaining_host
     from .ops.nested import build_nested_host
 
-    if num_buckets is None:
-        num_buckets = max(1, n_keys if n_keys is not None
-                          else int(np.unique(bk).size))
-
     if how == "chaining":
         table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
                                     key_domain=key_domain)
         res = probe_chaining(table, pk, unique=unique)
-        total = int(res.num_matches)  # exact: allocate once
-        out = max(1, total)
+        # one sync for all counters (ad-hoc device expressions each compile
+        # a fresh program over the tunnel; see CLAUDE.md)
+        m, c, total = (int(x) for x in jax.device_get(
+            (res.num_matches, res.num_cmps, _sum_i64(res.match_count))))
         prow, brow, valid, _ = materialize_chaining_join(
-            table, res, out, unique=unique)
+            table, res, max(1, total), unique=unique)
     else:
         table = build_nested_host(bk, num_buckets, n_keys=n_keys,
                                   key_domain=key_domain)
         res = probe_nested(table, pk)
-        total = int(jax.numpy.sum(res.group_len))
-        out = max(1, total)
-        prow, brow, valid, _ = unnest(table, res, out)
+        m, c, total = (int(x) for x in jax.device_get(
+            (res.num_matches, res.num_cmps, _sum_i64(res.group_len))))
+        prow, brow, valid, _ = unnest(table, res, max(1, total))
 
     v = np.asarray(valid)
     return JoinResult(
         probe_rows=np.asarray(prow)[v],
         build_rows=np.asarray(brow)[v],
-        num_matches=int(res.num_matches),
-        num_cmps=int(res.num_cmps),
+        num_matches=m,
+        num_cmps=c,
         num_results=total,
     )

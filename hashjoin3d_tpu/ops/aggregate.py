@@ -42,7 +42,7 @@ class AggregateResult:
 
     groups: GroupIndex
     count: jax.Array          # i32[cap]
-    sums: dict                # name -> i64[cap] (or float dtype for floats)
+    sums: dict                # name -> i64[cap] (float64 for float inputs)
     mins: dict                # name -> input dtype[cap]
     maxs: dict                # name -> input dtype[cap]
 
@@ -70,6 +70,20 @@ def hash_aggregate(keys: jax.Array, values: dict,
                            mask, cap)
 
 
+def _acc_dtype_sentinels(dtype):
+    """(accumulator dtype, min-sentinel, max-sentinel) for a value column.
+
+    Floats accumulate in float64: the cumsum-difference extraction makes the
+    error scale with the global prefix, so a float32 running sum over
+    millions of rows would swamp small groups; a float64 prefix keeps group
+    sums exact to float32 precision.  Ints accumulate in int64 (exact).
+    """
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.float64, jnp.array(jnp.inf, dtype), jnp.array(-jnp.inf,
+                                                                 dtype)
+    return jnp.int64, jnp.iinfo(dtype).max, jnp.iinfo(dtype).min
+
+
 @partial(jax.jit, static_argnames=("names", "cap"))
 def _hash_aggregate(keys, cols, names, mask, cap):
     keys = keys.astype(canon_key_dtype(keys))
@@ -81,10 +95,14 @@ def _hash_aggregate(keys, cols, names, mask, cap):
             group_start=jnp.zeros(cap, I32), group_len=jnp.zeros(cap, I32),
             group_rows=jnp.zeros(0, I32), first_row=jnp.zeros(0, I32),
             gid_by_row=jnp.zeros(0, I32), n_keys=jnp.int32(0))
-        zero = {nm: jnp.zeros(cap, jnp.int64) for nm in names}
+        sums, mins, maxs = {}, {}, {}
+        for nm, col in zip(names, cols):  # same dtypes/sentinels as n > 0
+            acc, big, small = _acc_dtype_sentinels(col.dtype)
+            sums[nm] = jnp.zeros(cap, acc)
+            mins[nm] = jnp.full(cap, big, col.dtype)
+            maxs[nm] = jnp.full(cap, small, col.dtype)
         return AggregateResult(groups=groups, count=jnp.zeros(cap, I32),
-                               sums=dict(zero), mins=dict(zero),
-                               maxs=dict(zero))
+                               sums=sums, mins=mins, maxs=maxs)
 
     skey = None
     sorted_cols = []
@@ -108,17 +126,18 @@ def _hash_aggregate(keys, cols, names, mask, cap):
             n_valid = (n - jnp.sum(inv)).astype(I32)
 
     is_first, gid, run_start, run_len = run_boundaries(skey, n_valid)
-    n_groups = jnp.maximum(gid[-1] + 1, 0)
+    # clamp to cap: an undershooting n_keys hint truncates the directory, and
+    # the reported count must match the arrays' valid prefix
+    n_groups = jnp.minimum(jnp.maximum(gid[-1] + 1, 0), cap)
 
     # compact directory: head positions scattered once, columns gathered
     tgt = jnp.where(is_first, gid, cap)
     head = (jnp.full(cap + 1, n, I32)
             .at[tgt].set(jnp.arange(n, dtype=I32), mode="drop")[:cap])
-    pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(n_groups, cap)
-    hp = jnp.minimum(head, max(n - 1, 0))
-    glen = jnp.where(pad, 0, run_len[hp]) if n else jnp.zeros(cap, I32)
-    ukey = (jnp.where(pad, ukey_pad(skey.dtype), skey[hp]) if n
-            else jnp.full(cap, ukey_pad(skey.dtype), skey.dtype))
+    pad = jnp.arange(cap, dtype=I32) >= n_groups
+    hp = jnp.minimum(head, n - 1)
+    glen = jnp.where(pad, 0, run_len[hp])
+    ukey = jnp.where(pad, ukey_pad(skey.dtype), skey[hp])
     gvalid = glen > 0
     startpos = jnp.where(gvalid, head, 0)
     endpos = jnp.minimum(jnp.where(gvalid, head + glen - 1, 0),
@@ -126,15 +145,7 @@ def _hash_aggregate(keys, cols, names, mask, cap):
 
     sums, mins, maxs = {}, {}, {}
     for name, col_s in zip(names, sorted_cols):
-        if jnp.issubdtype(col_s.dtype, jnp.floating):
-            acc_dtype = col_s.dtype
-            big = jnp.array(jnp.inf, col_s.dtype)
-            small = jnp.array(-jnp.inf, col_s.dtype)
-        else:
-            acc_dtype = jnp.int64
-            big = jnp.iinfo(col_s.dtype).max
-            small = jnp.iinfo(col_s.dtype).min
-
+        acc_dtype, big, small = _acc_dtype_sentinels(col_s.dtype)
         cs = jnp.cumsum(col_s.astype(acc_dtype))
         ce = cs[endpos]
         c0 = jnp.where(startpos > 0, cs[jnp.maximum(startpos - 1, 0)],

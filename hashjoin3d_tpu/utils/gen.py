@@ -22,6 +22,7 @@ rejection machinery is not replicated).
 from __future__ import annotations
 
 import ctypes
+import math
 import subprocess
 from pathlib import Path
 
@@ -125,7 +126,6 @@ def _py_gen_int_vec(dist, card, maxv, shift, param, flags, order, rng):
             return int(maxv * u ** (np.log(param) / np.log(1.0 - param)))
         if dist == KEXP:
             # genval_exp (GenRandIntVec.cc:272-274)
-            import math
             return int(math.floor(exp_d(rng) * maxv + shift)) % maxv
         if dist == KNORM:
             # genval_norm (GenRandIntVec.cc:277-288): truncate, retry until

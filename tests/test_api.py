@@ -45,3 +45,45 @@ def test_join_validates_args():
         hj.join(np.zeros(1, np.uint32), np.zeros(1, np.uint32), how="x")
     with pytest.raises(ValueError, match="backend"):
         hj.join(np.zeros(1, np.uint32), np.zeros(1, np.uint32), backend="x")
+
+
+def test_join_edge_cases():
+    """Empty sides, u64-host rejection, float-sum precision (review repros)."""
+    e = np.zeros(0, np.uint32)
+    r = hj.join(e, np.array([1, 2], np.uint32))
+    assert r.num_results == 0 and r.pairs() == []
+    r2 = hj.join(np.array([1], np.uint32), e, how="chaining")
+    assert r2.num_results == 0
+
+    bk64 = np.array([1, (1 << 40) | 1, 2], np.uint64)
+    pk64 = np.array([1], np.uint64)
+    with pytest.raises(ValueError, match="32-bit"):
+        hj.join(bk64, pk64, backend="host")
+    # device backend distinguishes the high bits
+    r3 = hj.join(bk64, pk64)
+    assert sorted(r3.pairs()) == [(0, 0)]
+
+
+def test_hash_aggregate_float_precision_and_clamp():
+    import jax.numpy as jnp
+    from hashjoin3d_tpu.ops.aggregate import hash_aggregate
+
+    # float32 sums must not inherit global-prefix rounding (review repro:
+    # 1M rows of 0.1 in groups of 4 gave up to 2.3% error pre-fix)
+    n = 1 << 20
+    keys = jnp.asarray(np.arange(n, dtype=np.uint32) // 4)
+    vals = jnp.full(n, 0.1, jnp.float32)
+    res = hash_aggregate(keys, {"v": vals}, n_keys=n // 4)
+    s = np.asarray(res.sums["v"])[: n // 4]
+    np.testing.assert_allclose(s, 0.4, rtol=1e-6)
+
+    # undershooting n_keys clamps the REPORTED count to the arrays' prefix
+    keys2 = jnp.asarray(np.arange(40, dtype=np.uint32))
+    res2 = hash_aggregate(keys2, {"v": jnp.ones(40, jnp.int32)}, n_keys=8)
+    assert int(res2.n_keys) == int(np.asarray(res2.keys).shape[0])
+
+    # empty input keeps per-column dtypes and sentinels
+    res3 = hash_aggregate(jnp.zeros(0, jnp.uint32),
+                          {"v": jnp.zeros(0, jnp.float32)}, n_keys=4)
+    assert res3.mins["v"].dtype == jnp.float32
+    assert np.isinf(np.asarray(res3.mins["v"])).all()
