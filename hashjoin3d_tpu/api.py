@@ -52,7 +52,7 @@ class JoinResult:
 def join(build_keys, probe_keys, how: str = "nested",
          num_buckets: int | None = None, unique: bool = False,
          n_keys: int | None = None, key_domain: int | None = None,
-         backend: str = "device") -> JoinResult:
+         backend: str = "device", mode: str = "inner") -> JoinResult:
     """Equi-join ``probe_keys`` against ``build_keys``; returns row-id pairs.
 
     ``how``: "nested" (3D hash table, ``ht_nested.hh``) or "chaining"
@@ -63,11 +63,21 @@ def join(build_keys, probe_keys, how: str = "nested",
     "device" (TPU ops) or "host" (the native C++ engine -- exact same
     counters, right choice for tiny ad-hoc queries where device dispatch
     latency dominates).
+
+    ``mode`` extends the reference's inner join (its only kind) with the
+    standard variants, all derived from the same probe pass:
+      "inner"  one output pair per match (default);
+      "left"   inner plus (probe_row, -1) for matchless probe rows;
+      "semi"   probe rows with >= 1 match, build_rows == -1;
+      "anti"   probe rows with no match, build_rows == -1.
+    num_matches/num_cmps always describe the underlying probe.
     """
     if how not in ("nested", "chaining"):
         raise ValueError(f"how must be 'nested' or 'chaining', got {how!r}")
     if backend not in ("device", "host"):
         raise ValueError(f"backend must be 'device' or 'host', got {backend!r}")
+    if mode not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     bk = np.ascontiguousarray(build_keys)
     pk = np.ascontiguousarray(probe_keys)
@@ -75,7 +85,15 @@ def join(build_keys, probe_keys, how: str = "nested",
     empty = np.zeros(0, np.int32)
     if bk.size == 0 or pk.size == 0:
         # the static-shape ops layer assumes non-empty columns
+        if mode in ("left", "anti") and pk.size:
+            rows = np.arange(pk.size, dtype=np.int32)
+            return JoinResult(rows, np.full(pk.size, -1, np.int32),
+                              0, 0, pk.size)
         return JoinResult(empty, empty, 0, 0, 0)
+
+    if mode != "inner":
+        return _join_with_mode(bk, pk, how, num_buckets, unique, n_keys,
+                               key_domain, backend, mode)
 
     # Same bucket policy on both backends (counters are bucket-dependent):
     # explicit num_buckets > n_keys hint > exact distinct count.
@@ -129,3 +147,27 @@ def join(build_keys, probe_keys, how: str = "nested",
         num_cmps=c,
         num_results=total,
     )
+
+
+def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,
+                    backend, mode):
+    """left/semi/anti variants, derived from the inner probe's hit set."""
+    inner = join(bk, pk, how=how, num_buckets=num_buckets, unique=unique,
+                 n_keys=n_keys, key_domain=key_domain, backend=backend)
+    hit = np.zeros(pk.shape[0], bool)
+    hit[inner.probe_rows] = True
+
+    if mode == "semi":
+        rows = np.nonzero(hit)[0].astype(np.int32)
+    elif mode == "anti":
+        rows = np.nonzero(~hit)[0].astype(np.int32)
+    else:  # left: inner pairs + matchless probes with a null build row
+        miss = np.nonzero(~hit)[0].astype(np.int32)
+        prow = np.concatenate([inner.probe_rows, miss])
+        brow = np.concatenate([inner.build_rows,
+                               np.full(miss.size, -1, np.int32)])
+        return JoinResult(prow, brow, inner.num_matches, inner.num_cmps,
+                          prow.size)
+
+    return JoinResult(rows, np.full(rows.size, -1, np.int32),
+                      inner.num_matches, inner.num_cmps, rows.size)

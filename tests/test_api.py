@@ -87,3 +87,35 @@ def test_hash_aggregate_float_precision_and_clamp():
                           {"v": jnp.zeros(0, jnp.float32)}, n_keys=4)
     assert res3.mins["v"].dtype == jnp.float32
     assert np.isinf(np.asarray(res3.mins["v"])).all()
+
+
+@pytest.mark.parametrize("mode", ["left", "semi", "anti"])
+def test_join_modes(mode):
+    rng = np.random.default_rng(12)
+    bk = rng.integers(0, 30, 100, dtype=np.uint32)
+    pk = rng.integers(0, 60, 80, dtype=np.uint32)  # half the domain misses
+
+    res = hj.join(bk, pk, mode=mode)
+    hits = np.isin(pk, bk)
+    if mode == "semi":
+        want_rows = sorted(np.nonzero(hits)[0].tolist())
+        assert sorted(res.probe_rows.tolist()) == want_rows
+        assert (res.build_rows == -1).all()
+    elif mode == "anti":
+        want_rows = sorted(np.nonzero(~hits)[0].tolist())
+        assert sorted(res.probe_rows.tolist()) == want_rows
+    else:  # left
+        inner = hj.join(bk, pk)
+        want = sorted(inner.pairs()) + [
+            (int(p), -1) for p in np.nonzero(~hits)[0]]
+        assert sorted(res.pairs()) == sorted(want)
+    # counters describe the underlying probe regardless of mode
+    assert res.num_matches == hj.join(bk, pk).num_matches
+
+    # empty build side: left/anti emit every probe row with -1
+    e = np.zeros(0, np.uint32)
+    r = hj.join(e, pk, mode=mode)
+    if mode in ("left", "anti"):
+        assert sorted(r.probe_rows.tolist()) == list(range(pk.size))
+    else:
+        assert r.num_results == 0
