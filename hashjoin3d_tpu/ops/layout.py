@@ -372,13 +372,6 @@ def group_capacity(n_keys: int, n: int) -> int:
     return min(max(1, 1 << (int(n_keys) - 1).bit_length()), n)
 
 
-def bucket_csr(bucket: jax.Array, num_buckets: int):
-    """Histogram + exclusive prefix sum: CSR over hash-directory buckets."""
-    blen = jnp.bincount(bucket, length=num_buckets).astype(I32)
-    bstart = (jnp.cumsum(blen) - blen).astype(I32)
-    return bstart, blen
-
-
 def sorted_histogram(b_sorted: jax.Array, num_buckets: int,
                      is_first: jax.Array, run_len: jax.Array):
     """Bucket histogram from an already-sorted bucket column.

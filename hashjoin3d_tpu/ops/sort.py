@@ -55,7 +55,10 @@ def radix_partition(keys: jax.Array, num_partitions: int,
         p = jnp.where(valid, p, num_partitions)
     sorted_ops = lax.sort((p, k, *payloads), num_keys=1, is_stable=True)
     psort = sorted_ops[0]
-    blen_ext = jnp.bincount(psort, length=num_partitions + 1).astype(I32)
-    part_len = blen_ext[:num_partitions]
-    part_start = (jnp.cumsum(part_len) - part_len).astype(I32)
+    # histogram rides the sort (bincount's scatter-add is ~35x slower)
+    from .layout import run_boundaries, sorted_histogram
+    is_first, _, _, run_len = run_boundaries(
+        psort.astype(U32), jnp.int32(psort.shape[0]))
+    part_start, part_len = sorted_histogram(psort, num_partitions,
+                                            is_first, run_len)
     return (*sorted_ops, part_start, part_len)
