@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .hashing import bucket_of, hash_key, murmur32
+from .hashing import bucket_of, hash_key
 from .layout import (I32, U32, GroupIndex, canon_key_dtype, expand,
                      group_capacity,
                      key_group_index, lookup_auto,

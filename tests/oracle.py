@@ -8,9 +8,6 @@ Slow (per-tuple), used only on small/medium test inputs.
 
 from __future__ import annotations
 
-import numpy as np
-
-
 def murmur32_py(x: int) -> int:
     x &= 0xFFFFFFFF
     x ^= x >> 16

@@ -88,7 +88,6 @@ def test_exp4_csv_matches_reference(golden, params):
 
 def test_exp1_result_set_vs_numpy_oracle():
     """Materialized join rows equal the true join as a multiset (exp1 data)."""
-    import jax
     from hashjoin3d_tpu.models.exp1 import (
         _chaining_probe_strand, _nested_probe_strand)
     from hashjoin3d_tpu.ops import build_chaining, build_nested

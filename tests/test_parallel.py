@@ -5,11 +5,10 @@ and result-id multisets for uniform and skewed keys.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hashjoin3d_tpu.ops import build_nested, probe_nested, unnest
+from hashjoin3d_tpu.ops import build_nested, probe_nested
 from hashjoin3d_tpu.parallel import (
     dist_chaining_join,
     dist_nested_join,
