@@ -91,15 +91,15 @@ def join(build_keys, probe_keys, how: str = "nested",
                               0, 0, pk.size)
         return JoinResult(empty, empty, 0, 0, 0)
 
-    if mode != "inner":
-        return _join_with_mode(bk, pk, how, num_buckets, unique, n_keys,
-                               key_domain, backend, mode)
-
     # Same bucket policy on both backends (counters are bucket-dependent):
     # explicit num_buckets > n_keys hint > exact distinct count.
     if num_buckets is None:
         num_buckets = max(1, n_keys if n_keys is not None
                           else int(np.unique(bk).size))
+
+    if mode != "inner":
+        return _join_with_mode(bk, pk, how, num_buckets, unique, n_keys,
+                               key_domain, backend, mode)
 
     if backend == "host":
         if bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8:
@@ -125,10 +125,11 @@ def join(build_keys, probe_keys, how: str = "nested",
         table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
                                     key_domain=key_domain)
         res = probe_chaining(table, pk, unique=unique)
-        # one sync for all counters (ad-hoc device expressions each compile
-        # a fresh program over the tunnel; see CLAUDE.md)
-        m, c, total = (int(x) for x in jax.device_get(
-            (res.num_matches, res.num_cmps, _sum_i64(res.match_count))))
+        # one sync for both counters; num_matches IS the emitted-pair total
+        # for chaining probes (num_matches = sum(match_count))
+        m, c = (int(x) for x in jax.device_get(
+            (res.num_matches, res.num_cmps)))
+        total = m
         prow, brow, valid, _ = materialize_chaining_join(
             table, res, max(1, total), unique=unique)
     else:
@@ -151,7 +152,33 @@ def join(build_keys, probe_keys, how: str = "nested",
 
 def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,
                     backend, mode):
-    """left/semi/anti variants, derived from the inner probe's hit set."""
+    """left/semi/anti variants, derived from the inner probe's hit set.
+
+    semi/anti never materialize the inner pairs -- the probe pass already
+    yields the per-row hit mask, and a duplicate-heavy inner join can be
+    quadratically larger than the semi/anti result.
+    """
+    if mode in ("semi", "anti") and backend == "device":
+        import jax
+
+        from .ops import probe_chaining, probe_nested
+        from .ops.chaining import build_chaining_host
+        from .ops.nested import build_nested_host
+
+        if how == "chaining":
+            table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
+                                        key_domain=key_domain)
+            res = probe_chaining(table, pk, unique=unique)
+        else:
+            table = build_nested_host(bk, num_buckets, n_keys=n_keys,
+                                      key_domain=key_domain)
+            res = probe_nested(table, pk)
+        hit, m, c = jax.device_get((res.hit, res.num_matches, res.num_cmps))
+        hit = np.asarray(hit)
+        rows = np.nonzero(hit if mode == "semi" else ~hit)[0].astype(np.int32)
+        return JoinResult(rows, np.full(rows.size, -1, np.int32),
+                          int(m), int(c), rows.size)
+
     inner = join(bk, pk, how=how, num_buckets=num_buckets, unique=unique,
                  n_keys=n_keys, key_domain=key_domain, backend=backend)
     hit = np.zeros(pk.shape[0], bool)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .hashing import murmur32
-from .layout import I32, U32
+from .layout import I32, U32, run_boundaries, sorted_histogram
 
 
 @jax.jit
@@ -56,7 +56,6 @@ def radix_partition(keys: jax.Array, num_partitions: int,
     sorted_ops = lax.sort((p, k, *payloads), num_keys=1, is_stable=True)
     psort = sorted_ops[0]
     # histogram rides the sort (bincount's scatter-add is ~35x slower)
-    from .layout import run_boundaries, sorted_histogram
     is_first, _, _, run_len = run_boundaries(
         psort.astype(U32), jnp.int32(psort.shape[0]))
     part_start, part_len = sorted_histogram(psort, num_partitions,

@@ -119,3 +119,15 @@ def test_join_modes(mode):
         assert sorted(r.probe_rows.tolist()) == list(range(pk.size))
     else:
         assert r.num_results == 0
+
+
+def test_semi_anti_skip_inner_materialization():
+    """semi/anti on duplicate-heavy keys: result is per-probe-row, never the
+    (potentially quadratic) inner pair set (review repro)."""
+    bk = np.full(3000, 9, np.uint32)   # inner join would be 9M pairs
+    pk = np.full(3000, 9, np.uint32)
+    r = hj.join(bk, pk, mode="semi")
+    assert r.num_results == 3000
+    assert (r.build_rows == -1).all()
+    assert r.num_matches == 3000  # probe hits, not expanded pairs
+    assert hj.join(bk, pk, mode="anti").num_results == 0
