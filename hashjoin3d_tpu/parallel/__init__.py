@@ -14,6 +14,7 @@ from .ring import dist_ring_nested_join
 from .skew import (detect_skew, dist_broadcast_join, dist_hybrid_nested_join,
                    suggest_capacity)
 from .pipeline import dist_filter_join_aggregate
+from .multi import dist_deferred_two_join
 
 __all__ = [
     "make_mesh", "shard_axis",
@@ -24,4 +25,5 @@ __all__ = [
     "detect_skew", "dist_broadcast_join", "dist_hybrid_nested_join",
     "suggest_capacity",
     "dist_filter_join_aggregate",
+    "dist_deferred_two_join",
 ]

@@ -330,3 +330,48 @@ def test_detect_skew_hybrid_requires_full_hot_coverage():
     rep2 = detect_skew(pk, 64, max_hot=40)
     assert rep2["strategy"] == "hybrid"
     assert len(rep2["hot_keys"]) == 40
+
+
+def test_dist_deferred_two_join_matches_exp4_oracle(mesh):
+    """Distributed Ndu (R >< S >< T, deferred unnest) == exp-4 numpy oracle.
+
+    S/T co-partitioned on the shared key: nested tuples never cross the
+    wire, and the counters match the single-chip exp-4 semantics."""
+    from hashjoin3d_tpu.models.exp4 import Experiment4
+    from hashjoin3d_tpu.parallel import dist_deferred_two_join
+    from hashjoin3d_tpu.utils import exp4_data
+
+    exp = Experiment4(8, 2, 2, 3, 2, plans=("none",))
+    sa, ta = exp4_data(8, 2, 2, 3, 2)
+    rk = np.arange(exp.card_r, dtype=np.uint32)
+
+    want = sorted(
+        (int(k), int(si), int(ti))
+        for k in rk
+        for si in np.nonzero(sa == k)[0]
+        for ti in np.nonzero(ta == k)[0])
+    assert len(want) == exp.calc_join_card2()
+
+    sh = shard_axis(mesh)
+    step = dist_deferred_two_join(
+        mesh, num_buckets_per_shard=64,
+        fk_capacity=sa.size, r_capacity=rk.size,
+        out1_capacity=4 * exp.calc_join_card2(),
+        out2_capacity=4 * exp.calc_join_card2())
+    out = step(jax.device_put(rk, sh), jax.device_put(sa, sh),
+               jax.device_put(ta, sh))
+    assert int(out["overflow"]) == 0
+    assert int(out["c_top"]) == exp.calc_join_card2()
+    # matches equal the single-chip plan's layout-independent counters:
+    # one nested tuple per R row whose key exists in the FK relation
+    assert int(out["c_probe_RS"]) == exp.num_fk_common + exp.num_fk_exclusive
+    assert int(out["c_probe_RT"]) == exp.num_fk_common
+
+    got = sorted(
+        (int(r), int(s), int(t))
+        for r, s, t, v in zip(np.asarray(out["r_row"]),
+                              np.asarray(out["s_row"]),
+                              np.asarray(out["t_row"]),
+                              np.asarray(out["out_valid"]))
+        if v)
+    assert got == want
