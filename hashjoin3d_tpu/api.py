@@ -48,6 +48,26 @@ class JoinResult:
     def pairs(self):
         return list(zip(self.probe_rows.tolist(), self.build_rows.tolist()))
 
+    def take(self, probe_cols: dict | None = None,
+             build_cols: dict | None = None) -> dict:
+        """Gather payload columns through the row-id pairs.
+
+        The engine joins on key columns and returns row ids (the reference's
+        zero-copy tuple pointers, SURVEY.md §1); this materializes any other
+        columns of the joined rows.  Build-side rows of -1 (left/semi/anti
+        modes) yield the column dtype's zero.
+        """
+        out = {}
+        for name, col in (probe_cols or {}).items():
+            out[name] = np.asarray(col)[self.probe_rows]
+        for name, col in (build_cols or {}).items():
+            col = np.asarray(col)
+            safe = np.where(self.build_rows >= 0, self.build_rows, 0)
+            v = col[safe]
+            v = np.where(self.build_rows >= 0, v, np.zeros((), col.dtype))
+            out[name] = v
+        return out
+
 
 def join(build_keys, probe_keys, how: str = "nested",
          num_buckets: int | None = None, unique: bool = False,

@@ -131,3 +131,21 @@ def test_semi_anti_skip_inner_materialization():
     assert (r.build_rows == -1).all()
     assert r.num_matches == 3000  # probe hits, not expanded pairs
     assert hj.join(bk, pk, mode="anti").num_results == 0
+
+
+def test_join_result_take():
+    bk = np.array([1, 1, 3], np.uint32)
+    bv = np.array([10, 11, 30], np.int32)
+    pk = np.array([1, 2, 3], np.uint32)
+    pv = np.array([100, 200, 300], np.int32)
+
+    r = hj.join(bk, pk)
+    cols = r.take(probe_cols={"pv": pv}, build_cols={"bv": bv})
+    got = sorted(zip(cols["pv"].tolist(), cols["bv"].tolist()))
+    assert got == [(100, 10), (100, 11), (300, 30)]
+
+    left = hj.join(bk, pk, mode="left")
+    cols = left.take(build_cols={"bv": bv})
+    # matchless probe (key 2) carries the dtype zero for the build side
+    by_probe = dict(zip(left.probe_rows.tolist(), cols["bv"].tolist()))
+    assert by_probe[1] == 0
