@@ -62,6 +62,9 @@ class JoinResult:
             out[name] = np.asarray(col)[self.probe_rows]
         for name, col in (build_cols or {}).items():
             col = np.asarray(col)
+            if col.size == 0:  # all build_rows are -1 (empty build side)
+                out[name] = np.zeros(self.build_rows.size, col.dtype)
+                continue
             safe = np.where(self.build_rows >= 0, self.build_rows, 0)
             v = col[safe]
             v = np.where(self.build_rows >= 0, v, np.zeros((), col.dtype))

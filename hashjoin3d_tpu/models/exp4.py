@@ -37,7 +37,6 @@ from ..ops import (
     probe_chaining,
     probe_nested,
 )
-from ..ops.layout import expand
 from ..utils import exp4_data
 from ..utils.csv_writer import CSVWriter
 from ..utils.measure import Timers, fence, repeat_mintime
@@ -59,42 +58,15 @@ _CSV_HEADER = [
 def _ndu_probe_strand(tbl_s, tbl_t, r_k, out1, out2):
     """scan R -> NestProbe(S) -> NestProbe(T) -> Unnest(T) -> Unnest(S) -> Top.
 
-    The nested batch flows through the second probe un-expanded; both
-    expansions happen only for rows that survived both joins
-    (``main_experiment4.cc:832-941``).
+    The strand body (shared with the distributed pipeline) lives in
+    ``ops.nested.deferred_two_join_strand``.
     """
-    rs = probe_nested(tbl_s, r_k)                       # [r, {s}]
-    rst = probe_nested(tbl_t, r_k, mask=rs.hit)         # [r, {s}, {t}]
+    from ..ops.nested import deferred_two_join_strand
 
-    # Unnest #1 unpacks T: one row per T duplicate of surviving nested tuples.
-    # Per-segment attributes ride the expansions as propagated payloads.
-    both = rst.hit                                       # implies rs.hit
-    t_counts = jnp.where(both, rst.group_len, 0)
-    p1, w1, v1, n_unnest1, gst_t, gs1 = expand(
-        t_counts, out1,
-        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0)))
-    t_row = tbl_t.groups.group_rows[gst_t + w1]          # S group still nested
-
-    # Unnest #2 unpacks S.
-    s_counts = jnp.where(v1, tbl_s.groups.group_len[gs1], 0)
-    p2, w2, v2, n_unnest2, gst_s, t_prop, r_prop = expand(
-        s_counts, out2,
-        (tbl_s.groups.group_start[gs1],
-         jnp.where(v1, t_row, 0),
-         jnp.where(v1, p1, 0)))
-    s_row = tbl_s.groups.group_rows[gst_s + w2]
-    r_row = jnp.where(v2, r_prop, -1)
-    t_out = jnp.where(v2, t_prop, -1)
-    s_out = jnp.where(v2, s_row, -1)
-
-    return dict(
-        r_row=r_row, s_row=s_out, t_row=t_out,
-        c_probe_RS=rs.num_matches, c_probe_RS_cmp=rs.num_cmps,
-        c_probe_RT=rst.num_matches, c_probe_RT_cmp=rst.num_cmps,
-        c_unnest_1=n_unnest1.astype(jnp.int64),
-        c_unnest_2=n_unnest2.astype(jnp.int64),
-        c_top=n_unnest2.astype(jnp.int64),
-    )
+    out = deferred_two_join_strand(tbl_s, tbl_t, r_k, out1, out2)
+    out.pop("valid")
+    out["c_top"] = out["c_unnest_2"]
+    return out
 
 
 @jax.jit

@@ -348,6 +348,51 @@ def probe_nested(
     )
 
 
+def deferred_two_join_strand(tbl_s: NestedTable, tbl_t: NestedTable,
+                             keys: jax.Array, out1: int, out2: int,
+                             mask: jax.Array | None = None):
+    """Probe S, probe T under the S-hit mask, unnest T then S -- the exp-4
+    Ndu strand (``main_experiment4.cc:832-941``), shared by the single-chip
+    experiment model and the distributed pipeline.
+
+    Nested batches flow through the second probe un-expanded; both
+    expansions run only for rows that survived both joins.  Returns a dict
+    of shard/chip-local row ids (``r_row``/``s_row``/``t_row``, -1-masked),
+    ``valid``, both probes' counters and both unnest counts (i64).
+    """
+    rs = probe_nested(tbl_s, keys, mask=mask)           # [r, {s}]
+    rst = probe_nested(tbl_t, keys, mask=rs.hit)        # [r, {s}, {t}]
+
+    # Unnest #1 unpacks T: one row per T duplicate of surviving nested
+    # tuples; per-segment attributes ride the expansions as payloads.
+    both = rst.hit                                       # implies rs.hit
+    t_counts = jnp.where(both, rst.group_len, 0)
+    p1, w1, v1, n_unnest1, gst_t, gs1 = expand(
+        t_counts, out1,
+        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0)))
+    t_row = tbl_t.groups.group_rows[gst_t + w1]          # S group still nested
+
+    # Unnest #2 unpacks S.
+    s_counts = jnp.where(v1, tbl_s.groups.group_len[gs1], 0)
+    _, w2, v2, n_unnest2, gst_s, t_prop, r_prop = expand(
+        s_counts, out2,
+        (tbl_s.groups.group_start[gs1],
+         jnp.where(v1, t_row, 0),
+         jnp.where(v1, p1, 0)))
+    s_row = tbl_s.groups.group_rows[gst_s + w2]
+
+    return dict(
+        r_row=jnp.where(v2, r_prop, -1),
+        s_row=jnp.where(v2, s_row, -1),
+        t_row=jnp.where(v2, t_prop, -1),
+        valid=v2,
+        c_probe_RS=rs.num_matches, c_probe_RS_cmp=rs.num_cmps,
+        c_probe_RT=rst.num_matches, c_probe_RT_cmp=rst.num_cmps,
+        c_unnest_1=n_unnest1.astype(jnp.int64),
+        c_unnest_2=n_unnest2.astype(jnp.int64),
+    )
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
     """Vectorized ``AlgUnnestHt`` (``algebra.hh:510-541``).

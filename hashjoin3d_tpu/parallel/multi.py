@@ -29,8 +29,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops import build_nested, probe_nested
-from ..ops.layout import I32, expand
+from ..ops import build_nested
+from ..ops.nested import deferred_two_join_strand
 from .dist_join import _global_rows
 from .mesh import SHARD_AXIS
 from .shuffle import partition_exchange
@@ -66,39 +66,26 @@ def dist_deferred_two_join(mesh: Mesh, num_buckets_per_shard: int,
 
         # probe strand (main_experiment4.cc:832-941), shard-local throughout:
         # both nested batches stay un-expanded through the second probe
-        rs = probe_nested(tbl_s, rkeys, mask=rvalid)
-        rst = probe_nested(tbl_t, rkeys, mask=rs.hit)
-
-        both = rst.hit
-        t_counts = jnp.where(both, rst.group_len, 0)
-        p1, w1, v1, n_un1, gst_t, gs1 = expand(
-            t_counts, out1_capacity,
-            (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0)))
-        t_row_l = tbl_t.groups.group_rows[gst_t + w1]
-
-        s_counts = jnp.where(v1, tbl_s.groups.group_len[gs1], 0)
-        p2, w2, v2, n_un2, gst_s, t_prop, r_prop = expand(
-            s_counts, out2_capacity,
-            (tbl_s.groups.group_start[gs1],
-             jnp.where(v1, t_row_l, 0),
-             jnp.where(v1, p1, 0)))
-        s_row_l = tbl_s.groups.group_rows[gst_s + w2]
+        # (shared strand body: ops.nested.deferred_two_join_strand)
+        st = deferred_two_join_strand(tbl_s, tbl_t, rkeys, out1_capacity,
+                                      out2_capacity, mask=rvalid)
+        v2 = st["valid"]
 
         # local -> global row ids
-        r_row = jnp.where(v2, rpay["row"][jnp.maximum(r_prop, 0)], -1)
-        s_row = jnp.where(v2, spay["row"][jnp.maximum(s_row_l, 0)], -1)
-        t_row = jnp.where(v2, tpay["row"][jnp.maximum(t_prop, 0)], -1)
+        r_row = jnp.where(v2, rpay["row"][jnp.maximum(st["r_row"], 0)], -1)
+        s_row = jnp.where(v2, spay["row"][jnp.maximum(st["s_row"], 0)], -1)
+        t_row = jnp.where(v2, tpay["row"][jnp.maximum(st["t_row"], 0)], -1)
 
-        out_ovf = (jnp.maximum(n_un1.astype(jnp.int64) - out1_capacity, 0)
-                   + jnp.maximum(n_un2.astype(jnp.int64) - out2_capacity, 0))
+        out_ovf = (jnp.maximum(st["c_unnest_1"] - out1_capacity, 0)
+                   + jnp.maximum(st["c_unnest_2"] - out2_capacity, 0))
 
         return dict(
-            c_probe_RS=lax.psum(rs.num_matches, axis),
-            c_probe_RS_cmp=lax.psum(rs.num_cmps, axis),
-            c_probe_RT=lax.psum(rst.num_matches, axis),
-            c_probe_RT_cmp=lax.psum(rst.num_cmps, axis),
-            c_unnest_1=lax.psum(n_un1.astype(jnp.int64), axis),
-            c_top=lax.psum(n_un2.astype(jnp.int64), axis),
+            c_probe_RS=lax.psum(st["c_probe_RS"], axis),
+            c_probe_RS_cmp=lax.psum(st["c_probe_RS_cmp"], axis),
+            c_probe_RT=lax.psum(st["c_probe_RT"], axis),
+            c_probe_RT_cmp=lax.psum(st["c_probe_RT_cmp"], axis),
+            c_unnest_1=lax.psum(st["c_unnest_1"], axis),
+            c_top=lax.psum(st["c_unnest_2"], axis),
             overflow=sovf + tovf + rovf + lax.psum(out_ovf, axis),
             r_row=r_row, s_row=s_row, t_row=t_row,
             out_valid=v2,

@@ -149,3 +149,11 @@ def test_join_result_take():
     # matchless probe (key 2) carries the dtype zero for the build side
     by_probe = dict(zip(left.probe_rows.tolist(), cols["bv"].tolist()))
     assert by_probe[1] == 0
+
+
+def test_take_empty_build_column():
+    """left join against an empty build side: take() yields dtype zeros."""
+    pk = np.array([1, 2], np.uint32)
+    r = hj.join(np.zeros(0, np.uint32), pk, mode="left")
+    cols = r.take(build_cols={"bv": np.zeros(0, np.int32)})
+    np.testing.assert_array_equal(cols["bv"], np.zeros(2, np.int32))
