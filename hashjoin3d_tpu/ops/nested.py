@@ -152,6 +152,10 @@ class NestedBatch:
     ``probe_row[i]`` pairs with match group ``g[i]`` when ``hit[i]``; rows with
     ``hit[i] == False`` carry no nested tuple (the reference simply does not
     call ``step`` downstream for them, ``algebra.hh:451-458``).
+
+    Contract: ``probe_row`` is positional (``arange(P)``) -- every
+    constructor in the engine builds it that way, and ``unnest`` relies on
+    it to emit the expansion's segment index as the probe row directly.
     """
 
     probe_row: jax.Array   # i32[P]
@@ -412,14 +416,16 @@ def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
         build_row = jnp.where(nested.hit, nested.direct_row, -1)
         return probe_row, build_row, nested.hit, total
 
-    # Per-segment attributes (group_start, probe row) ride the expansion as
-    # propagated payloads -- P-sized gathers before, zero out-sized gathers
-    # after; the single remaining gather is the actual result-row fetch.
+    # Per-segment attributes ride the expansion as propagated payloads --
+    # P-sized gathers before, zero out-sized gathers after; the single
+    # remaining gather is the result-row fetch.  The probe row needs no
+    # payload at all: every NestedBatch constructor sets probe_row to
+    # arange(P), so the segment index p that expand() already propagates IS
+    # the probe row (one int64 scatter + one out-sized cummax saved).
     gstart_by_probe = table.groups.group_start[nested.g]
-    prow_by_probe = jnp.maximum(nested.probe_row, 0)
-    p, within, valid, total, gstart, prow = expand(
-        nested.group_len, out_size, (gstart_by_probe, prow_by_probe))
+    p, within, valid, total, gstart = expand(
+        nested.group_len, out_size, (gstart_by_probe,))
     build_row = table.groups.group_rows[gstart + within]
-    probe_row = jnp.where(valid, prow, -1)
+    probe_row = jnp.where(valid, p, -1)
     build_row = jnp.where(valid, build_row, -1)
     return probe_row, build_row, valid, total.astype(jnp.int64)
