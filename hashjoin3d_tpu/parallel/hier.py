@@ -96,6 +96,10 @@ def hier_exchange(keys: jax.Array, payload_rows: jax.Array,
     the whole mesh.
     """
     ns = n_hosts * n_chips
+    if jnp.dtype(keys.dtype).itemsize == 8:
+        raise NotImplementedError(
+            "hier_exchange ships keys as one i32 column; route 64-bit keys "
+            "through the flat partition_exchange (u64-aware) instead")
     keys = keys.astype(U32)
     n = keys.shape[0]
     if valid is None:

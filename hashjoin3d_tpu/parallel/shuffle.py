@@ -24,13 +24,18 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.hashing import murmur32
-from ..ops.layout import I32, U32
+from ..ops.hashing import hash_key, murmur32
+from ..ops.layout import I32, U32, canon_key_dtype
 
 
 def shard_of_key(keys: jax.Array, num_shards: int) -> jax.Array:
-    """Owning shard of each key (double murmur, see module docstring)."""
-    return (murmur32(murmur32(keys)) % jnp.uint32(num_shards)).astype(I32)
+    """Owning shard of each key (double murmur, see module docstring).
+
+    Width-matched: u64 keys route via the 64-bit finalizer (truncating them
+    to u32 would merge distinct keys into one shard-and-bucket identity).
+    """
+    h = hash_key(hash_key(keys.astype(canon_key_dtype(keys))))
+    return (h % h.dtype.type(num_shards)).astype(I32)
 
 
 def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
@@ -48,16 +53,26 @@ def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
     number of dropped rows (psum'd; must be 0 for a lossless exchange).
     """
     n = keys.shape[0]
-    keys = keys.astype(U32)
+    keys = keys.astype(canon_key_dtype(keys))
+    wide = keys.dtype == jnp.uint64
     dest = shard_of_key(keys, num_shards)
     if valid is not None:
         dest = jnp.where(valid, dest, num_shards)
 
     # Local radix partition by destination: one stable multi-payload sort.
+    # 64-bit keys travel as (hi, lo) u32 halves so every shipped column
+    # stays 32-bit (int64 sorts/scatters are 2-16x costlier on v5e).
     names = sorted(payloads)
-    ops = (dest, keys) + tuple(payloads[k].astype(I32) for k in names)
+    if wide:
+        key_cols = ((keys >> jnp.uint64(32)).astype(U32),
+                    keys.astype(jnp.uint32))
+    else:
+        key_cols = (keys,)
+    ops = (dest,) + key_cols + tuple(payloads[k].astype(I32) for k in names)
     sorted_ops = lax.sort(ops, num_keys=1, is_stable=True)
-    dest_s, keys_s, payload_s = sorted_ops[0], sorted_ops[1], sorted_ops[2:]
+    dest_s = sorted_ops[0]
+    key_cols_s = sorted_ops[1:1 + len(key_cols)]
+    payload_s = sorted_ops[1 + len(key_cols):]
 
     # Within-destination rank from the sorted runs (scan-based run_start
     # instead of a bincount histogram: bincount is a scatter-add, ~35x the
@@ -76,7 +91,7 @@ def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
         buf = jnp.full(num_shards * capacity, fill, col.dtype)
         return buf.at[tgt].set(col, mode="drop").reshape(num_shards, capacity)
 
-    send_keys = pack(keys_s, jnp.uint32(0))
+    send_key_cols = [pack(c, jnp.uint32(0)) for c in key_cols_s]
     send_valid = pack(fits.astype(I32), 0)
     send_payloads = [pack(c, -1) for c in payload_s]
 
@@ -85,7 +100,12 @@ def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
     def xchg(x):
         return lax.all_to_all(x, axis_name, split_axis=0, concat_axis=0)
 
-    keys_r = xchg(send_keys).reshape(-1)
+    key_cols_r = [xchg(c).reshape(-1) for c in send_key_cols]
+    if wide:
+        keys_r = ((key_cols_r[0].astype(jnp.uint64) << jnp.uint64(32))
+                  | key_cols_r[1].astype(jnp.uint64))
+    else:
+        keys_r = key_cols_r[0]
     valid_r = xchg(send_valid).reshape(-1) > 0
     payloads_r = {k: xchg(c).reshape(-1) for k, c in zip(names, send_payloads)}
 

@@ -146,7 +146,7 @@ def _is_hot(keys: jax.Array, hot_keys) -> jax.Array:
     """Membership mask against a small static hot-key set (unrolled compares)."""
     acc = jnp.zeros(keys.shape[0], bool)
     for hk in hot_keys:
-        acc = acc | (keys == jnp.uint32(int(hk)))
+        acc = acc | (keys == keys.dtype.type(int(hk)))
     return acc
 
 

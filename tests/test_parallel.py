@@ -375,3 +375,29 @@ def test_dist_deferred_two_join_matches_exp4_oracle(mesh):
                               np.asarray(out["out_valid"]))
         if v)
     assert got == want
+
+
+def test_dist_join_u64_keys(mesh):
+    """Distributed joins route and ship 64-bit keys without truncation."""
+    from hashjoin3d_tpu.parallel import dist_nested_join
+
+    rng = np.random.default_rng(61)
+    base = (np.arange(256, dtype=np.uint64) << np.uint64(33)) | np.uint64(7)
+    bk = np.repeat(base[:128], 4).astype(np.uint64)   # 512 rows, 4 dups each
+    rng.shuffle(bk)
+    # collide-if-truncated probes: same low 32 bits, different high bits
+    pk = np.concatenate([base[:200], base[:56] ^ np.uint64(1 << 37)])
+    rng.shuffle(pk)
+
+    step = dist_nested_join(mesh, num_buckets_per_shard=32,
+                            build_capacity=512, probe_capacity=256,
+                            out_capacity=8192)
+    sh = shard_axis(mesh)
+    out = step(jax.device_put(bk, sh), jax.device_put(pk, sh))
+    assert int(out["overflow"]) == 0
+
+    want = []
+    for p, k in enumerate(pk):
+        for b in np.nonzero(bk == k)[0]:
+            want.append((p, int(b)))
+    assert _pairs(out) == sorted(want)
