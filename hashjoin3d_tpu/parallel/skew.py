@@ -191,8 +191,8 @@ def dist_hybrid_nested_join(mesh: Mesh, hot_keys, num_buckets_per_shard: int,
         # --- hot side: pack local hot rows, all_gather, build replica -------
         hpos = jnp.cumsum(bhot.astype(I32)) - 1
         hidx = jnp.where(bhot, hpos, hot_build_capacity)
-        hkeys = jnp.zeros(hot_build_capacity, jnp.uint32).at[hidx].set(
-            build_keys.astype(jnp.uint32), mode="drop")
+        hkeys = jnp.zeros(hot_build_capacity, build_keys.dtype).at[hidx].set(
+            build_keys, mode="drop")
         hrows = jnp.full(hot_build_capacity, -1, I32).at[hidx].set(
             brow_g, mode="drop")
         hvalid = (jnp.arange(hot_build_capacity, dtype=I32)
