@@ -411,7 +411,6 @@ def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
         # Singleton groups from a dense-direct table: positional unnest, no
         # expansion machinery.
         total = jnp.sum(nested.hit.astype(jnp.int64))
-        p = jnp.arange(P, dtype=I32)
         probe_row = jnp.where(nested.hit, nested.probe_row, -1)
         build_row = jnp.where(nested.hit, nested.direct_row, -1)
         return probe_row, build_row, nested.hit, total

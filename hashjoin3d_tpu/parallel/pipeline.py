@@ -54,10 +54,13 @@ def dist_filter_join_aggregate(mesh: Mesh, num_buckets_per_shard: int,
 
         # aggregate joined build values by join key; keys are partitioned by
         # the exchange so local groups are globally complete
-        jkeys = jnp.where(ovalid, pkeys[jnp.maximum(prow_l, 0)], 0)
+        # keep the key dtype: the exchange ships u64 keys intact and
+        # hash_aggregate is dtype-generic -- truncating here would merge
+        # distinct u64 groups
+        jkeys = jnp.where(ovalid, pkeys[jnp.maximum(prow_l, 0)],
+                          pkeys.dtype.type(0))
         jvals = jnp.where(ovalid, bpay["val"][jnp.maximum(brow_l, 0)], 0)
-        agg = hash_aggregate(jkeys.astype(jnp.uint32), {"v": jvals},
-                             mask=ovalid)
+        agg = hash_aggregate(jkeys, {"v": jvals}, mask=ovalid)
 
         return dict(
             num_filtered=lax.psum(jnp.sum(keep.astype(jnp.int64)), axis),

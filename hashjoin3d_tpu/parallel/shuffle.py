@@ -2,8 +2,9 @@
 
 The reference has no communication layer at all (SURVEY.md section 5.8); the
 TPU-native design is: rows are routed to the shard owning their join key
-(``shard = murmur32(murmur32(key)) % n_shards`` -- double-hashed so shard
-routing is decorrelated from the in-table bucket assignment ``h % num_buckets``),
+(``shard = murmur(murmur(key)) % n_shards`` with the width-matched finalizer
+-- double-hashed so shard routing is decorrelated from the in-table bucket
+assignment ``h % num_buckets``),
 locally radix-partitioned by destination with one stable sort, packed into a
 fixed-capacity ``[n_shards, capacity]`` send tensor, and exchanged with a
 single ``lax.all_to_all`` that XLA lowers onto the ICI ring.
@@ -44,7 +45,7 @@ def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
     """Exchange rows to their key-owning shards.
 
     Args (all per-device local views, inside shard_map):
-      keys:     u32[n] join keys
+      keys:     u32[n] or u64[n] join keys (u64 ships as (hi, lo) u32 halves)
       payloads: dict of i32/u32[n] columns to ship alongside (e.g. global row ids)
       capacity: static max rows accepted per (src, dst) pair
 

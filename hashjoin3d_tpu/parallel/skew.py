@@ -64,9 +64,13 @@ def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0,
     order = np.argsort(counts[hot_mask])[::-1][:max_hot]
     hot_keys = uniq[hot_mask][order]
 
-    from ..ops.hashing import murmur32_np
-    shard = murmur32_np(murmur32_np(ks)) % np.uint32(num_shards)
-    loads = np.bincount(shard, minlength=num_shards)
+    # width-matched host mirror of shard_of_key (u64 keys must not truncate)
+    from ..ops.hashing import murmur32_np, murmur64_np
+    if np.asarray(ks).dtype.itemsize == 8:
+        shard = murmur64_np(murmur64_np(ks)) % np.uint64(num_shards)
+    else:
+        shard = murmur32_np(murmur32_np(ks)) % np.uint32(num_shards)
+    loads = np.bincount(shard.astype(np.int64), minlength=num_shards)
     imbalance = loads.max() / max(loads.mean(), 1)
 
     if top_frac * num_shards <= 1.0:

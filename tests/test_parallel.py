@@ -401,3 +401,29 @@ def test_dist_join_u64_keys(mesh):
         for b in np.nonzero(bk == k)[0]:
             want.append((p, int(b)))
     assert _pairs(out) == sorted(want)
+
+
+def test_pipeline_u64_keys_not_merged(mesh):
+    """Filter->join->aggregate keeps u64 group keys distinct (review repro:
+    the aggregate stage used to truncate keys to u32, merging groups)."""
+    from hashjoin3d_tpu.parallel.pipeline import dist_filter_join_aggregate
+
+    # two keys sharing low 32 bits
+    k1, k2 = np.uint64(7), np.uint64((1 << 33) | 7)
+    bk = np.array([k1, k2] * 128, np.uint64)
+    bv = np.arange(256, dtype=np.int32) % 10
+    pk = np.array([k1, k2] * 64, np.uint64)
+    pp = np.zeros(128, np.int32)
+
+    step = dist_filter_join_aggregate(
+        mesh, num_buckets_per_shard=16, build_capacity=256,
+        probe_capacity=128, out_capacity=65536,
+        predicate=lambda payload: payload < 1)
+    sh = shard_axis(mesh)
+    out = step(jax.device_put(bk, sh), jax.device_put(bv, sh),
+               jax.device_put(pk, sh), jax.device_put(pp, sh))
+    assert int(out["overflow"]) == 0
+    gk = np.asarray(out["group_keys"])
+    gc = np.asarray(out["group_count"])
+    live = {int(k) for k, c in zip(gk, gc) if c > 0}
+    assert live == {int(k1), int(k2)}  # distinct groups survive
