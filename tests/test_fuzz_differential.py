@@ -110,3 +110,33 @@ def test_fuzz_masked_probes_vs_native_subset():
         res = probe_nested(tbl, pk, mask=jnp.asarray(mask))
         assert int(res.num_matches) == m, f"trial {trial}"
         assert int(res.num_cmps) == c, f"trial {trial}"
+
+
+def test_fuzz_u64_vs_python_oracle():
+    """u64 random workloads vs the insertion-simulating python oracle."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from oracle import NestedOracle
+
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        n_b, n_p = int(rng.integers(5, 800)), int(rng.integers(5, 1200))
+        lo = rng.integers(0, 50, n_b).astype(np.uint64)
+        hi = rng.integers(0, 6, n_b).astype(np.uint64)
+        bk = (hi << np.uint64(40)) | lo
+        plo = rng.integers(0, 60, n_p).astype(np.uint64)
+        phi = rng.integers(0, 6, n_p).astype(np.uint64)
+        pk = (phi << np.uint64(40)) | plo
+        nb = int(rng.integers(1, n_b + 1))
+
+        orc = NestedOracle(bk, nb)
+        nested, matches, _ = orc.probe(pk)
+        want = sorted(orc.unnest(nested))
+
+        tbl = build_nested(bk, nb)
+        res = probe_nested(tbl, pk)
+        assert int(res.num_matches) == matches, f"trial {trial}"
+        up, ub, uv, ut = unnest(tbl, res, max(1, len(want)))
+        got = sorted(zip(np.asarray(up)[np.asarray(uv)].tolist(),
+                         np.asarray(ub)[np.asarray(uv)].tolist()))
+        assert got == want, f"trial {trial}"
