@@ -204,6 +204,10 @@ def build_nested_host(keys: jax.Array, num_buckets: int,
     """
     from .layout import sort_with_rows, group_capacity
 
+    if dense_direct and n_keys == keys.shape[0]:
+        # permutation keys: probe/unnest/stats read only direct +
+        # bucket_main_len; skip the distinct-key directory entirely
+        return _build_nested_dense(keys, num_buckets)
     if n_keys is not None:
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
@@ -214,6 +218,45 @@ def build_nested_host(keys: jax.Array, num_buckets: int,
     cap = group_capacity(n_keys, keys.shape[0])
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
                                 dense_direct, key_domain)
+
+
+@partial(jax.jit, static_argnames=("num_buckets",))
+def _build_nested_dense(keys, num_buckets):
+    """Slim dense-direct 3D build: no distinct-key directory.
+
+    Permutation keys make every row its own MainNode; main-chain position is
+    the ARRIVAL rank within the bucket (tail append, ht_nested.hh:299-308 --
+    unlike the chaining table's head-insert order).
+    """
+    from .layout import GroupIndex, run_boundaries, sorted_histogram
+
+    keys = keys.astype(U32)
+    n = keys.shape[0]
+    row = jnp.arange(n, dtype=I32)
+
+    h = hash_key(keys)
+    b = bucket_of(h, num_buckets)
+    b_sorted, srow = lax.sort((b, row), num_keys=1, is_stable=True)
+    is_first_b, _, run_start_b, run_len_b = run_boundaries(
+        b_sorted.astype(U32), jnp.int32(n))
+    _, bucket_main_len = sorted_histogram(
+        b_sorted, num_buckets, is_first_b, run_len_b)
+    rank = jnp.arange(n, dtype=I32) - run_start_b  # arrival order in bucket
+    pos_by_row = jnp.zeros(n, I32).at[srow].set(rank)
+
+    direct_shift = (n - 1).bit_length()
+    direct = jnp.zeros(n, U32).at[keys].set(
+        row.astype(U32) | ((pos_by_row + 1).astype(U32)
+                           << jnp.uint32(direct_shift)))
+
+    empty = jnp.zeros(0, I32)
+    groups = GroupIndex(ukey=jnp.zeros(0, U32), group_start=empty,
+                        group_len=empty, group_rows=empty, first_row=empty,
+                        gid_by_row=empty, n_keys=jnp.int32(n))
+    return NestedTable(
+        groups=groups, main_pos_by_group=empty,
+        bucket_main_len=bucket_main_len, keys=keys, num_buckets=num_buckets,
+        direct=direct, direct_shift=direct_shift)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
