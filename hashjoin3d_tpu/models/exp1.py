@@ -297,9 +297,12 @@ class Experiment1:
 
         # S.a lives in [0, fkMax) by construction (main_experiment1.cc:190),
         # so S-side tables also get the one-gather dense key-domain index.
-        def chaining_build(nb, nk, dense=False, dom=None):
+        # ee=False skips the early-exit chain-position index for tables only
+        # probed without IsBuildKeyUnique (plan Crs).
+        def chaining_build(nb, nk, dense=False, dom=None, ee=True):
             return lambda keys: build_chaining_host(
-                keys, nb, dense_direct=dense, n_keys=nk, key_domain=dom)
+                keys, nb, dense_direct=dense, n_keys=nk, key_domain=dom,
+                early_exit_index=ee)
 
         def nested_build(nb, nk, dense=False, dom=None):
             return lambda keys: build_nested_host(
@@ -323,7 +326,8 @@ class Experiment1:
         if "Crs" in self.plans:
             self._run_join_plan(
                 "Crs", self._sa, self._rk, nb_s,
-                chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max),
+                chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max,
+                               ee=False),
                 lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
                 "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:

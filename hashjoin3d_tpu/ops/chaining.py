@@ -201,7 +201,8 @@ class ChainProbeResult:
 def build_chaining_host(keys: jax.Array, num_buckets: int,
                         dense_direct: bool = False,
                         n_keys: int | None = None,
-                        key_domain: int | None = None) -> ChainingTable:
+                        key_domain: int | None = None,
+                        early_exit_index: bool = True) -> ChainingTable:
     """Two-phase host-orchestrated build with a compacted directory.
 
     See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure
@@ -219,12 +220,12 @@ def build_chaining_host(keys: jax.Array, num_buckets: int,
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
         return _build_chaining_fused(keys, cap, num_buckets, dense_direct,
-                                     key_domain)
+                                     key_domain, early_exit_index)
     skey, srow, nk = sort_with_rows(keys)
     n_keys = int(nk)  # the one host sync
     cap = group_capacity(n_keys, keys.shape[0])
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
-                                  dense_direct, key_domain)
+                                  dense_direct, key_domain, early_exit_index)
 
 
 @partial(jax.jit, static_argnames=("num_buckets",))
@@ -270,20 +271,20 @@ def _build_chaining_dense(keys, num_buckets):
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain"))
+                                   "key_domain", "early_exit_index"))
 def _build_chaining_fused(keys, cap, num_buckets, dense_direct,
-                          key_domain=None):
+                          key_domain=None, early_exit_index=True):
     from .layout import sort_with_rows
 
     skey, srow, _ = sort_with_rows(keys)
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
-                                  dense_direct, key_domain)
+                                  dense_direct, key_domain, early_exit_index)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain"))
+                                   "key_domain", "early_exit_index"))
 def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
-                           key_domain=None):
+                           key_domain=None, early_exit_index=True):
     from .layout import (compact_group_index, key_direct_index,
                          run_boundaries, sorted_histogram)
 
@@ -303,24 +304,33 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
         b_sorted.astype(U32), jnp.int32(n))
     bucket_start, bucket_len = sorted_histogram(
         b_sorted, num_buckets, is_first_b, run_len_b)
-    rank = jnp.arange(n, dtype=I32) - run_start_b
-    pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
-    pos_by_row = jnp.zeros(n, I32).at[srow_b].set(pos_sorted)
+    if early_exit_index:
+        rank = jnp.arange(n, dtype=I32) - run_start_b
+        pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
+        pos_by_row = jnp.zeros(n, I32).at[srow_b].set(pos_sorted)
 
-    # early-exit unique index from compact-sized gathers: the first match in
-    # chain order is the bucket head (pos 0) if the group owns it, else the
-    # last-inserted duplicate (max row id; LIFO head-insertion).
-    gs = jnp.minimum(groups.group_start + jnp.maximum(groups.group_len - 1, 0),
-                     n - 1)
-    max_row = srow[gs]  # rows ascend within a key run
-    pos_first = pos_by_row[jnp.minimum(groups.first_row, n - 1)]
-    pos_max = pos_by_row[jnp.minimum(max_row, n - 1)]
-    head = pos_first == 0
-    group_min_pos = jnp.where(groups.group_len > 0,
-                              jnp.where(head, 0, pos_max), n)
-    group_chain_first = jnp.where(groups.group_len > 0,
-                                  jnp.where(head, groups.first_row, max_row),
-                                  -1)
+        # early-exit unique index from compact-sized gathers: the first match
+        # in chain order is the bucket head (pos 0) if the group owns it,
+        # else the last-inserted duplicate (max row; LIFO head-insertion).
+        gs = jnp.minimum(
+            groups.group_start + jnp.maximum(groups.group_len - 1, 0), n - 1)
+        max_row = srow[gs]  # rows ascend within a key run
+        pos_first = pos_by_row[jnp.minimum(groups.first_row, n - 1)]
+        pos_max = pos_by_row[jnp.minimum(max_row, n - 1)]
+        head = pos_first == 0
+        group_min_pos = jnp.where(groups.group_len > 0,
+                                  jnp.where(head, 0, pos_max), n)
+        group_chain_first = jnp.where(groups.group_len > 0,
+                                      jnp.where(head, groups.first_row,
+                                                max_row),
+                                      -1)
+    else:
+        # caller promises no IsBuildKeyUnique probes on this table: full-
+        # chain-walk probes read only bucket_len, so the per-row chain
+        # positions (an n-sized scatter + scans) need not be materialized
+        pos_by_row = jnp.zeros(0, I32)
+        group_min_pos = jnp.zeros(0, I32)
+        group_chain_first = jnp.zeros(0, I32)
 
     direct = None
     direct_shift = 0
@@ -459,6 +469,10 @@ def probe_chaining(
     glen = jnp.where(hit, table.groups.group_len[g], 0)
 
     if unique:
+        if table.group_min_pos.shape[0] == 0:
+            raise ValueError(
+                "table was built with early_exit_index=False; "
+                "IsBuildKeyUnique probes need the chain-position index")
         cmps = jnp.where(hit, table.group_min_pos[g] + 1, blen)
         match_count = hit.astype(I32)
     else:
