@@ -32,7 +32,8 @@ def main(argv=None):
     ap.add_argument("--measure-file", required=True,
                     help="CSV output path ('-' for stdout)")
     ap.add_argument("-p", "--plans", default="all",
-                    help="comma-separated plans (scr,scs,Csr,CsrUU,Crs,Nsr,Nrs,NrsNU,all)")
+                    help="comma-separated plans (scr,scs,Csr,CsrUU,Crs,Nsr,Nrs,NrsNU,all) "
+                    "or numeric plans_e bitmask values (e.g. 4,8 = Csr,Crs)")
     ap.add_argument("--print-timers", action="store_true")
     ap.add_argument("--print-relations", action="store_true")
     ap.add_argument("--min-time-ms", type=float, default=300.0,

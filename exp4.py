@@ -28,7 +28,9 @@ def main(argv=None):
     ap.add_argument("-B", "--beta-mult", type=int, required=True,
                     help="multiplicity of exclusive FKs")
     ap.add_argument("--measure-file", required=True)
-    ap.add_argument("-p", "--plans", default="all")
+    ap.add_argument("-p", "--plans", default="all",
+                    help="comma-separated plans (Ndu,Chj,Nnu,all) or numeric "
+                    "plans_e bitmask values (e.g. 1,4 = Ndu,Chj)")
     run_g = ap.add_mutually_exclusive_group()
     run_g.add_argument("--run", dest="run", action="store_true", default=True)
     run_g.add_argument("--no-run", dest="run", action="store_false")

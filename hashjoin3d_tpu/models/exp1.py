@@ -49,6 +49,38 @@ from ..utils.measure import Timers, fence, repeat_mintime
 
 PLAN_NAMES = ["scr", "scs", "Csr", "CsrUU", "Crs", "Nsr", "Nrs", "NrsNU"]
 
+# plans_e bit values (main_experiment1.cc:96-113) -- lets scripted workflows
+# pass numeric masks like ``-p 4,8`` (Csr|Crs) in place of plan names
+PLAN_BITS = {"scr": 1, "scs": 2, "Csr": 4, "Crs": 8, "Nrs": 16, "Nsr": 32,
+             "NrsNU": 64, "CsrUU": 8192}
+
+
+def resolve_plan_items(plans, names, bits):
+    """Shared plan-list resolution for both experiment CLIs.
+
+    Accepts plan names, ``all``/``none``, and (beyond the reference, whose
+    ``plansFromVec`` silently drops anything not in its name map,
+    main_experiment1.cc:1361-1370) numeric ``plans_e`` bitmask values --
+    ``4,8`` and ``12`` both select Csr+Crs.  Unknown names raise.
+    """
+    out = set()
+    for p in plans:
+        for item in str(p).split(","):
+            if not item:
+                continue
+            if item.lower() == "all":
+                out.update(names)
+            elif item.lower() == "none":
+                pass
+            elif item in names:
+                out.add(item)
+            elif item.lstrip("-").isdigit():
+                mask = int(item)
+                out.update(n for n, b in bits.items() if mask & b)
+            else:
+                raise ValueError(f"unknown plan {item!r}")
+    return out
+
 _CSV_HEADER = [
     "mintime", "minreps", "log2CardR", "log2CardS", "skew", "t", "fkMax",
     "numDvSa", "b",
@@ -122,20 +154,7 @@ class Experiment1:
 
     @staticmethod
     def _resolve_plans(plans):
-        out = set()
-        for p in plans:
-            for item in str(p).split(","):
-                if not item:
-                    continue
-                if item.lower() == "all":
-                    out.update(PLAN_NAMES)
-                elif item.lower() == "none":
-                    pass
-                elif item in PLAN_NAMES:
-                    out.add(item)
-                else:
-                    raise ValueError(f"unknown plan {item!r}")
-        return out
+        return resolve_plan_items(plans, PLAN_NAMES, PLAN_BITS)
 
     @property
     def card_r(self):
@@ -225,6 +244,11 @@ class Experiment1:
             print(f"Plan {name}")
             print(f"  reps {reps}, build {durs['build']/reps*1e3:.3f} ms, "
                   f"probe {durs['probe']/reps*1e3:.3f} ms")
+            # the reference's node-sizeof/memory dump (main_experiment1.cc:
+            # 701-708) -- here the table's actual HBM split in bytes
+            mem = table.memory_consumption()
+            print("  ht memory: " + ", ".join(
+                f"{k} {v:,}" for k, v in mem.items()) + " bytes")
 
         c_top = int(out.get("c_top", out.get("total", 0)))
         row = [

@@ -148,6 +148,11 @@ class Experiment4:
                     out.add("Nnu")
                 elif item in PLAN_NAMES:
                     out.add(item)
+                elif item.lstrip("-").isdigit():
+                    # plans_e bits (main_experiment4.cc:158-164)
+                    mask = int(item)
+                    bits = {"Ndu": 1, "Nnu": 2, "Chj": 4}
+                    out.update(n for n, b in bits.items() if mask & b)
                 else:
                     raise ValueError(f"unknown plan {item!r}")
         return out
@@ -304,6 +309,7 @@ class Experiment4:
             durs["probe"] += t3 - t2
             durs["total"] += t3 - t0
             state["out"] = out
+            state["tbl_s"], state["tbl_t"] = tbl_s, tbl_t
 
         # compile outside the timed region (see exp1); free the warm-up
         # tables before timing -- holding them across the loop inflates HBM
@@ -322,6 +328,12 @@ class Experiment4:
         if self.trace:
             print(f"Plan {name}: reps {reps}, "
                   f"probe {durs['probe']/reps*1e3:.3f} ms, c_top {int(out['c_top'])}")
+            # the reference's per-table node-sizeof dump
+            # (main_experiment4.cc:907-910, :1015-1016) -- actual HBM bytes
+            for label in ("tbl_s", "tbl_t"):
+                mem = state[label].memory_consumption()
+                print(f"  {label[-1].upper()}: ht memory: " + ", ".join(
+                    f"{k} {v:,}" for k, v in mem.items()) + " bytes")
 
         self._write_params()
         self.csv.write_fields(

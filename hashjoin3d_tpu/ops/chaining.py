@@ -81,7 +81,30 @@ class ChainingTable:
 
     @property
     def size(self):
+        """Row count (the reference's ``size()``: number of inserted nodes)."""
         return self.keys.shape[0]
+
+    def memory_consumption(self) -> dict:
+        """HBM bytes held by this table, split like the reference's
+        ``memoryConsupmtion{,Dir,Chains}`` (``ht_chaining.hh:161-177``).
+
+        ``dir``: the per-bucket arrays (the reference's ``numBuckets *
+        sizeof(Node)`` hash directory); ``chains``: everything row- or
+        group-sized (the reference's reservoir of chain nodes -- here the CSR
+        group index, chain-position index and the optional dense-direct /
+        key-domain indexes).  ``total = dir + chains``.  Sizes are the actual
+        device-array footprints (``nbytes``), so layout optimizations (slim
+        builds, skipped early-exit index) are reflected truthfully.
+        """
+        dir_bytes = self.bucket_start.nbytes + self.bucket_len.nbytes
+        g = self.groups
+        chain_arrays = [self.pos_by_row, self.group_min_pos,
+                        self.group_chain_first, self.keys, g.ukey,
+                        g.group_start, g.group_len, g.group_rows, g.first_row,
+                        g.gid_by_row, self.direct, self.key_direct]
+        chains_bytes = sum(a.nbytes for a in chain_arrays if a is not None)
+        return dict(total=dir_bytes + chains_bytes, dir=dir_bytes,
+                    chains=chains_bytes)
 
 
 def can_use_dense_direct(keys_np, num_buckets: int) -> bool:

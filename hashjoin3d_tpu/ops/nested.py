@@ -74,7 +74,29 @@ class NestedTable:
 
     @property
     def size(self):
+        """Row count (the reference's ``size()``: number of inserted nodes)."""
         return self.keys.shape[0]
+
+    def memory_consumption(self) -> dict:
+        """HBM bytes held by this table, split like the reference's
+        ``memoryConsupmtion{,Dir,MainChains,SubChains}``
+        (``ht_nested.hh:261-284``).
+
+        ``dir``: per-bucket arrays; ``main``: per-distinct-key (MainNode)
+        arrays -- the sorted-key directory, main-chain positions and the
+        optional dense-direct / key-domain indexes; ``sub``: per-row (SubNode)
+        arrays -- the CSR duplicate rows plus the retained key column.
+        ``total = dir + main + sub``; sizes are actual device-array
+        footprints (``nbytes``).
+        """
+        g = self.groups
+        dir_bytes = self.bucket_main_len.nbytes
+        main_arrays = [self.main_pos_by_group, g.ukey, g.group_start,
+                       g.group_len, g.first_row, self.direct, self.key_direct]
+        main_bytes = sum(a.nbytes for a in main_arrays if a is not None)
+        sub_bytes = g.group_rows.nbytes + g.gid_by_row.nbytes + self.keys.nbytes
+        return dict(total=dir_bytes + main_bytes + sub_bytes, dir=dir_bytes,
+                    main=main_bytes, sub=sub_bytes)
 
 
 def can_use_dense_direct(keys_np, num_buckets: int) -> bool:

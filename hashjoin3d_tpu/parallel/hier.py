@@ -96,32 +96,44 @@ def hier_exchange(keys: jax.Array, payload_rows: jax.Array,
     the whole mesh.
     """
     ns = n_hosts * n_chips
-    if jnp.dtype(keys.dtype).itemsize == 8:
-        raise NotImplementedError(
-            "hier_exchange ships keys as one i32 column; route 64-bit keys "
-            "through the flat partition_exchange (u64-aware) instead")
-    keys = keys.astype(U32)
+    from ..ops.layout import canon_key_dtype
+    keys = keys.astype(canon_key_dtype(keys))
+    wide = keys.dtype == jnp.uint64
     n = keys.shape[0]
     if valid is None:
         valid = jnp.ones(n, bool)
 
-    d = shard_of_key(keys, ns)          # global owner shard
+    d = shard_of_key(keys, ns)          # global owner shard (64-bit finalizer
+    #                                     for u64 keys, see shuffle.py)
     chip_d = d % n_chips                # hop 1: chip column (intra-host, ICI)
     host_d = d // n_chips               # hop 2: destination host (DCN)
 
-    # keys travel as their i32 bit pattern (view, not value conversion)
-    cols = [keys.view(I32), payload_rows.astype(I32), host_d]
+    # keys travel as i32 bit patterns (view, not value conversion); u64 keys
+    # ship as (hi, lo) u32 halves exactly like the flat partition_exchange --
+    # every shipped column stays 32-bit (int64 sorts are 2x on v5e)
+    if wide:
+        key_cols = [(keys >> jnp.uint64(32)).astype(U32).view(I32),
+                    keys.astype(jnp.uint32).view(I32)]
+    else:
+        key_cols = [keys.astype(U32).view(I32)]
+    nkc = len(key_cols)
+    cols = key_cols + [payload_rows.astype(I32), host_d]
     recv1, valid1, drop1 = _exchange_1hop(
         CHIP_AXIS, chip_d, cols, n_chips, capacity1, valid)
-    keys1, rows1, hostd1 = recv1
+    kc1, rows1, hostd1 = recv1[:nkc], recv1[nkc], recv1[nkc + 1]
 
     recv2, valid2, drop2 = _exchange_1hop(
-        HOST_AXIS, jnp.maximum(hostd1, 0), [keys1, rows1], n_hosts,
+        HOST_AXIS, jnp.maximum(hostd1, 0), kc1 + [rows1], n_hosts,
         capacity2, valid1)
-    keys2, rows2 = recv2
+    kc2, rows2 = recv2[:nkc], recv2[nkc]
 
+    if wide:
+        keys2 = ((kc2[0].view(U32).astype(jnp.uint64) << jnp.uint64(32))
+                 | kc2[1].view(U32).astype(jnp.uint64))
+    else:
+        keys2 = kc2[0].view(U32)
     overflow = lax.psum(lax.psum(drop1 + drop2, CHIP_AXIS), HOST_AXIS)
-    return keys2.view(U32), rows2, valid2, overflow
+    return keys2, rows2, valid2, overflow
 
 
 def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,

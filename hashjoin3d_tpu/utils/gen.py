@@ -12,11 +12,9 @@ backends:
   used when no C++ toolchain is available.  Tested for equality with native.
 
 Distribution names/codes follow the reference (``GenRandIntVec.hh:24-34``):
-key, div, uni, exp, norm, zipf, self, pois.  The python backend covers
-key/div/uni/zipf/self/exp/norm with bit-identical streams (libstdc++
-exponential and Marsaglia-polar normal protocols replicated in
-``mt19937.py``); pois requires the native backend (libstdc++'s poisson
-rejection machinery is not replicated).
+key, div, uni, exp, norm, zipf, self, pois.  The python backend covers all
+eight with bit-identical streams (libstdc++ exponential, Marsaglia-polar
+normal and Devroye-rejection poisson protocols replicated in ``mt19937.py``).
 """
 
 from __future__ import annotations
@@ -134,13 +132,15 @@ def _py_gen_int_vec(dist, card, maxv, shift, param, flags, order, rng):
                 v = norm_d(rng)
                 if 0 <= v < maxv:
                     return (int(v) + shift) % maxv
-        raise NotImplementedError(
-            f"python backend does not support dist={DIST_NAMES[dist]}; "
-            "build the native library")
+        if dist == KPOIS:
+            # genval_pois (GenRandIntVec.cc, pois case)
+            return (pois_d(rng) + shift) % maxv
+        raise ValueError(f"bad dist code {dist}")
 
     zipf = pymt.ZipfSampler(maxv, param) if dist == KZIPF else None
     exp_d = pymt.StdExponential(param) if dist == KEXP else None
     norm_d = pymt.StdNormal(maxv / 2.0, param) if dist == KNORM else None
+    pois_d = pymt.StdPoisson(param) if dist == KPOIS else None
 
     if fill or shuf:
         freq = np.ones(maxv, np.uint32) if fill else np.zeros(maxv, np.uint32)

@@ -234,6 +234,109 @@ class StdNormal:
         return ret * self.stddev + self.mean
 
 
+class StdPoisson:
+    """libstdc++ ``std::poisson_distribution<int>`` replica.
+
+    Two regimes, as in GCC's ``bits/random.tcc`` (``_M_initialize`` +
+    ``operator()``):
+
+    * mean < 12: product-of-uniforms (count draws until the running product
+      of canonicals falls below ``exp(-mean)``);
+    * mean >= 12: Devroye's rejection method (Non-Uniform Random Variate
+      Generation, 1986, Ch. X §3.3-3.4 + errata) with libstdc++'s exact
+      constants, case thresholds and draw order -- including its private
+      ``normal_distribution<double>`` member (Marsaglia polar, with the
+      saved-deviate cache persisting across calls).
+
+    Streams are bit-identical to the native generator / the reference's
+    ``genval_pois`` (``util/GenRandIntVec.cc``, pois case); pinned by
+    tests/test_generators.py.
+    """
+
+    def __init__(self, mean: float):
+        self.mean = mean
+        self._nd = StdNormal(0.0, 1.0)  # _M_nd: persists across calls
+        if mean >= 12:
+            m = math.floor(mean)
+            self._m = m
+            self._lm_thr = math.log(mean)
+            self._lfm = math.lgamma(m + 1)
+            self._sm = math.sqrt(m)
+            pi_4 = 0.7853981633974483096156608458198757
+            dx = math.sqrt(2 * m * math.log(32 * m / pi_4))
+            self._d = round_half_away(max(6.0, min(m, dx)))
+            cx = 2 * m + self._d
+            self._scx = math.sqrt(cx / 2)
+            self._1cx = 1 / cx
+            self._c2b = math.sqrt(pi_4 * cx) * math.exp(self._1cx)
+            self._cb = (2 * cx * math.exp(-self._d * self._1cx
+                                          * (1 + self._d / 2)) / self._d)
+        else:
+            self._lm_thr = math.exp(-mean)
+
+    def __call__(self, rng: MT19937) -> int:
+        if self.mean < 12:
+            x = 0
+            prod = 1.0
+            while True:
+                prod *= generate_canonical(rng)
+                x += 1
+                if not prod > self._lm_thr:
+                    break
+            return x - 1
+
+        naf = (1 - 2.220446049250313e-16) / 2  # (1 - DBL_EPSILON) / 2
+        thr = 2147483647 + naf                  # numeric_limits<int>::max()
+        m = self._m
+        spi_2 = 1.2533141373155002512078826424055226  # sqrt(pi / 2)
+        c1 = self._sm * spi_2
+        c2 = self._c2b + c1
+        c3 = c2 + 1
+        c4 = c3 + 1
+        k178 = 0.0128205128205128205128205128205128   # 1 / 78
+        e178 = 1.0129030479320018583185514777512983   # e^(1/78)
+        c5 = c4 + e178
+        c = self._cb + c5
+        two_cx = 2 * (2 * m + self._d)
+
+        while True:
+            u = c * generate_canonical(rng)
+            e = -math.log(1.0 - generate_canonical(rng))
+            w = 0.0
+            if u <= c1:
+                n = self._nd(rng)
+                y = -abs(n) * self._sm - 1
+                x = math.floor(y)
+                w = -n * n / 2
+                if x < -m:
+                    continue
+            elif u <= c2:
+                n = self._nd(rng)
+                y = 1 + abs(n) * self._scx
+                x = math.ceil(y)
+                w = y * (2 - y) * self._1cx
+                if x > self._d:
+                    continue
+            elif u <= c3:
+                x = -1.0
+            elif u <= c4:
+                x = 0.0
+            elif u <= c5:
+                x = 1.0
+                w = k178  # errata case, libstdc++/83237
+            else:
+                v = -math.log(1.0 - generate_canonical(rng))
+                y = self._d + v * two_cx / self._d
+                x = math.ceil(y)
+                w = -self._d * self._1cx * (1 + y / 2)
+
+            reject = (w - e - x * self._lm_thr
+                      > self._lfm - math.lgamma(x + m + 1))
+            reject |= x + m >= thr
+            if not reject:
+                return int(x + m + naf)
+
+
 # -- zipf sampler (same numerics as the reference's, see module docstring) ------
 
 _EPS = 1e-8

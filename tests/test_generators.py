@@ -102,8 +102,7 @@ def test_exp4_matches_reference_golden():
 
 
 def test_python_exp_norm_match_native():
-    """libstdc++ exponential/normal replicas: bit-identical streams
-    (pois remains native-only)."""
+    """libstdc++ exponential/normal replicas: bit-identical streams."""
     from hashjoin3d_tpu.utils.gen import gen_rand_int_vec, native_lib
     if native_lib() is None:
         import pytest
@@ -117,3 +116,23 @@ def test_python_exp_norm_match_native():
         b2 = gen_rand_int_vec(dist, 1500, 300, param=param, flags=3,
                               order=-1, backend="python")
         np.testing.assert_array_equal(a2, b2)
+
+
+def test_python_pois_matches_native():
+    """libstdc++ poisson replica: both regimes (mean < 12 product-of-uniforms,
+    mean >= 12 Devroye rejection) produce bit-identical streams."""
+    from hashjoin3d_tpu.utils.gen import gen_rand_int_vec, native_lib
+    if native_lib() is None:
+        pytest.skip("no native toolchain")
+    for param in (4.5, 11.999, 12.0, 100.0, 2500.0):
+        a = gen_rand_int_vec("pois", 4000, 10**6, param=param,
+                             backend="native")
+        b = gen_rand_int_vec("pois", 4000, 10**6, param=param,
+                             backend="python")
+        np.testing.assert_array_equal(a, b)
+    # fill+shuffle flags and the value-shift path over a small domain
+    a = gen_rand_int_vec("pois", 1500, 300, shift=7, param=150.0, flags=3,
+                         order=-1, backend="native")
+    b = gen_rand_int_vec("pois", 1500, 300, shift=7, param=150.0, flags=3,
+                         order=-1, backend="python")
+    np.testing.assert_array_equal(a, b)

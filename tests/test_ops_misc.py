@@ -212,3 +212,32 @@ def test_hash_aggregate_n_keys_hint_and_empty():
 def jnp_arr(x):
     import jax.numpy as jnp
     return jnp.asarray(x)
+
+
+def test_windowed_lookup_matches_gather():
+    """Pallas windowed lookup == XLA gather on sorted keys (interpret mode:
+    the Mosaic path is exercised on real hardware by tools/roofline.py)."""
+    import jax.numpy as jnp
+    from hashjoin3d_tpu.ops.windowed import (
+        windowed_lookup, windowed_coverage_ok)
+
+    rng = np.random.default_rng(3)
+    T = 2048
+    table = rng.integers(1, 2**32, T, dtype=np.uint32)
+    keys = np.sort(rng.integers(0, T, 16384).astype(np.int32))
+    assert bool(windowed_coverage_ok(jnp.asarray(keys), T, W=1024))
+    out = windowed_lookup(jnp.asarray(table), jnp.asarray(keys), W=1024,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), table[keys])
+
+    # out-of-range keys (sorted to the tail) come back 0 = miss marker
+    keys2 = np.concatenate([keys[:-256], np.full(256, T, np.int32)])
+    out2 = windowed_lookup(jnp.asarray(table), jnp.asarray(keys2), W=1024,
+                           interpret=True)
+    assert (np.asarray(out2)[-256:] == 0).all()
+    np.testing.assert_array_equal(np.asarray(out2)[:-256],
+                                  table[keys2[:-256]])
+
+    # sparse keys the window cannot cover: the guard must say no
+    sparse = np.sort(np.array([0, T - 1] * 1024, np.int32))
+    assert not bool(windowed_coverage_ok(jnp.asarray(sparse), T, W=1024))

@@ -427,3 +427,32 @@ def test_pipeline_u64_keys_not_merged(mesh):
     gc = np.asarray(out["group_count"])
     live = {int(k) for k, c in zip(gk, gc) if c > 0}
     assert live == {int(k1), int(k2)}  # distinct groups survive
+
+
+def test_hier_2d_join_u64_keys(mesh):
+    """u64 keys through the two-hop hierarchical exchange: shipped as
+    (hi, lo) u32 halves, no truncation (mirrors test_dist_join_u64_keys)."""
+    from hashjoin3d_tpu.parallel import dist_nested_join_2d, make_mesh_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(67)
+    base = (np.arange(256, dtype=np.uint64) << np.uint64(33)) | np.uint64(7)
+    bk = np.repeat(base[:128], 4).astype(np.uint64)   # 512 rows, 4 dups each
+    rng.shuffle(bk)
+    # collide-if-truncated probes: same low 32 bits, different high bits
+    pk = np.concatenate([base[:200], base[:56] ^ np.uint64(1 << 37)])
+    rng.shuffle(pk)
+
+    mesh2 = make_mesh_2d(2, 4)
+    sh2 = NamedSharding(mesh2, P(("host", "chip")))
+    step = dist_nested_join_2d(mesh2, num_buckets_per_shard=32,
+                               build_capacity=512, probe_capacity=256,
+                               out_capacity=8192)
+    out = step(jax.device_put(bk, sh2), jax.device_put(pk, sh2))
+    assert int(out["overflow"]) == 0
+
+    want = []
+    for p, k in enumerate(pk):
+        for b in np.nonzero(bk == k)[0]:
+            want.append((p, int(b)))
+    assert _pairs(out) == sorted(want)

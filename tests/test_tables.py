@@ -467,3 +467,29 @@ def test_u64_and_composite_keys():
     got2 = sorted((int(a), int(b)) for a, b, v in
                   zip(np.asarray(p2), np.asarray(b2), np.asarray(v2)) if v)
     assert got2 == want2
+
+
+def test_memory_consumption():
+    """HBM accounting: the reference's memoryConsupmtion{,Dir,Chains} split
+    (ht_chaining.hh:161-177, ht_nested.hh:261-284) as actual array bytes."""
+    import jax.numpy as jnp
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+
+    bk = jnp.asarray(np.arange(256, dtype=np.uint32))
+    ct = build_chaining_host(bk, 64)
+    mem = ct.memory_consumption()
+    assert mem["total"] == mem["dir"] + mem["chains"]
+    # per-bucket arrays: bucket_start + bucket_len, 4 bytes each
+    assert mem["dir"] == 2 * 64 * 4
+    assert mem["chains"] >= bk.nbytes  # at least the retained key column
+
+    nt = build_nested_host(bk, 64)
+    memn = nt.memory_consumption()
+    assert memn["total"] == memn["dir"] + memn["main"] + memn["sub"]
+    assert memn["dir"] == 64 * 4
+    assert memn["sub"] >= bk.nbytes
+
+    # slim dense-direct build: no directory arrays -> strictly smaller
+    ctd = build_chaining_host(bk, 64, dense_direct=True, n_keys=256)
+    assert ctd.memory_consumption()["chains"] < mem["chains"]

@@ -1,0 +1,143 @@
+"""Roofline microbenchmarks: what the v5e chip actually gives us per op.
+
+Establishes the hardware (or toolchain) bound behind every number in PERF.md:
+
+* achievable HBM bandwidth (elementwise copy on 134 MB),
+* XLA's random-gather cost and its (in)dependence on table size/sortedness
+  -- the evidence that ~10 ns/element is a lowering serialization, not HBM,
+* sort cost (the engine's workhorse),
+* the Pallas windowed lookup (ops/windowed.py) vs the XLA gather, and the
+  full sorted-probe pipeline (sort + windowed lookup) vs gather-only.
+
+Run on the real TPU:  python tools/roofline.py [--quick]
+Prints a markdown table (pasted into PERF.md's roofline section).
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hashjoin3d_tpu.ops.windowed import (
+    windowed_lookup, windowed_coverage_ok)
+from hashjoin3d_tpu.utils.measure import fence, repeat_mintime
+
+HBM_GBS = 819.0  # v5e HBM bandwidth (public spec: 16 GB @ 819 GB/s)
+
+
+def timeit(fn, *args, min_time=0.5, min_repeat=4):
+    out = fn(*args)
+    fence(out)  # compile + warm
+    del out
+
+    def once():
+        fence(fn(*args))
+
+    total, reps = repeat_mintime(min_time, once, min_repeat=min_repeat)
+    return total / reps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="0.2s min per case instead of 0.5s")
+    ap.add_argument("--n", type=int, default=24, help="log2 #probes")
+    ap.add_argument("--t", type=int, default=20, help="log2 table size")
+    args = ap.parse_args()
+    mt = 0.2 if args.quick else 0.5
+
+    n, T = 1 << args.n, 1 << args.t
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(7)
+    table_np = rng.integers(1, 2**32, T, dtype=np.uint32)
+    idx_np = rng.integers(0, T, n).astype(np.int32)
+    table = jnp.asarray(table_np)
+    idx = jnp.asarray(idx_np)
+    idx_sorted = jnp.asarray(np.sort(idx_np))
+    small = jnp.asarray(table_np[:2048])
+    idx_small = jnp.asarray((idx_np % 2048).astype(np.int32))
+
+    rows = []
+
+    def report(name, secs, bytes_moved=None, per_elem=n):
+        ns = secs * 1e9 / per_elem
+        bw = (bytes_moved / secs / 1e9) if bytes_moved else float("nan")
+        sol = (bw / HBM_GBS * 100) if bytes_moved else float("nan")
+        rows.append((name, secs * 1e3, ns, bw, sol))
+        print(f"{name:36s} {secs*1e3:9.2f} ms  {ns:7.2f} ns/elem"
+              f"  {bw:7.1f} GB/s  {sol:5.1f}% SoL", flush=True)
+
+    copy = jax.jit(lambda x: x + jnp.uint32(1))
+    report("copy 64Mi u32 (r+w)", timeit(copy, jnp.asarray(
+        rng.integers(0, 2**32, 1 << 26, dtype=np.uint32)), min_time=mt),
+        bytes_moved=2 * (1 << 26) * 4, per_elem=1 << 26)
+
+    gather = jax.jit(lambda t, i: t[i])
+    report(f"XLA gather {n>>20}Mi from {T>>20}Mi", timeit(
+        gather, table, idx, min_time=mt), bytes_moved=n * 4)
+    report("XLA gather (sorted idx)", timeit(
+        gather, table, idx_sorted, min_time=mt), bytes_moved=n * 4)
+    report("XLA gather (2Ki table, VMEM-size)", timeit(
+        gather, small, idx_small, min_time=mt), bytes_moved=n * 4)
+
+    upd = jnp.asarray(rng.integers(0, 2**31, n, dtype=np.int32))
+    scatter = jax.jit(lambda t, i, u: t.at[i].set(u, mode="drop"))
+    zeros = jnp.zeros(T, jnp.int32)
+    report("XLA scatter n->T i32", timeit(
+        scatter, zeros, idx, upd, min_time=mt), bytes_moved=n * 4)
+
+    sort1 = jax.jit(lambda k: jax.lax.sort((k,), num_keys=1)[0])
+    sort2 = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    report("sort u32 (1 op)", timeit(sort1, idx.view(jnp.uint32),
+                                     min_time=mt), bytes_moved=2 * n * 4)
+    report("sort u32+i32 (2 op)", timeit(
+        sort2, idx.view(jnp.uint32), row_ids, min_time=mt),
+        bytes_moved=4 * n * 4)
+
+    # -- Pallas windowed lookup ------------------------------------------------
+    for W in (512, 1024, 2048):
+        ok = bool(windowed_coverage_ok(idx_sorted, T, W=W))
+        if not ok:
+            print(f"windowed W={W}: coverage FAILED (spread too wide)",
+                  flush=True)
+            continue
+        try:
+            t_win = timeit(lambda t, k: windowed_lookup(t, k, W=W),
+                           table, idx_sorted, min_time=mt)
+        except Exception as e:  # Mosaic/toolchain failure: report, continue
+            print(f"windowed W={W}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        got = np.asarray(windowed_lookup(table, idx_sorted, W=W))
+        want = table_np[np.asarray(idx_sorted)]
+        assert np.array_equal(got, want), f"windowed W={W} WRONG RESULTS"
+        report(f"pallas windowed lookup W={W}", t_win, bytes_moved=n * 4)
+
+    # full sorted pipeline: sort (key,row) + windowed lookup
+    @jax.jit
+    def sorted_pipeline(t, k, r):
+        ks, rs = jax.lax.sort((k, r), num_keys=1)
+        return windowed_lookup(t, ks.view(jnp.int32)), rs
+
+    try:
+        t_pipe = timeit(sorted_pipeline, table, idx.view(jnp.uint32),
+                        row_ids, min_time=mt)
+        report("sort + windowed (full pipeline)", t_pipe, bytes_moved=n * 4)
+    except Exception as e:
+        print(f"sorted pipeline FAILED: {type(e).__name__}: {e}", flush=True)
+
+    print("\n| op | ms | ns/elem | GB/s | % HBM SoL |")
+    print("|---|---|---|---|---|")
+    for name, ms, ns, bw, sol in rows:
+        print(f"| {name} | {ms:.1f} | {ns:.2f} | {bw:.1f} | {sol:.1f} |")
+
+
+if __name__ == "__main__":
+    main()
