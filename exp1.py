@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("-p", "--plans", default="all",
                     help="comma-separated plans (scr,scs,Csr,CsrUU,Crs,Nsr,Nrs,NrsNU,all) "
                     "or numeric plans_e bitmask values (e.g. 4,8 = Csr,Crs)")
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "device", "host"),
+                    help="execution backend: TPU device, native host engine, "
+                    "or automatic per-plan crossover (PERF.md)")
     ap.add_argument("--print-timers", action="store_true")
     ap.add_argument("--print-relations", action="store_true")
     ap.add_argument("--min-time-ms", type=float, default=300.0,
@@ -59,7 +63,8 @@ def main(argv=None):
         args.card_R, args.card_S, args.skew, args.param_t, b=args.param_b,
         measure_file=None if args.measure_file == "-" else args.measure_file,
         plans=args.plans.split(","),
-        min_runtime_s=args.min_time_ms / 1e3, min_repeat=args.min_repeat)
+        min_runtime_s=args.min_time_ms / 1e3, min_repeat=args.min_repeat,
+        backend=args.backend)
     exp.init()
     if args.print_relations:
         exp.print_relations()

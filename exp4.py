@@ -34,6 +34,10 @@ def main(argv=None):
     run_g = ap.add_mutually_exclusive_group()
     run_g.add_argument("--run", dest="run", action="store_true", default=True)
     run_g.add_argument("--no-run", dest="run", action="store_false")
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "device", "host"),
+                    help="execution backend: TPU device, native host engine, "
+                    "or automatic per-plan crossover (PERF.md)")
     ap.add_argument("--print-timers", action="store_true")
     ap.add_argument("--print-relations", action="store_true")
     ap.add_argument("--print-paramtable", action="store_true")
@@ -52,7 +56,8 @@ def main(argv=None):
         args.card_R, args.alpha, args.alpha_mult, args.beta, args.beta_mult,
         measure_file=None if args.measure_file == "-" else args.measure_file,
         plans=args.plans.split(","),
-        min_runtime_s=args.min_time_ms / 1e3, min_repeat=args.min_repeat)
+        min_runtime_s=args.min_time_ms / 1e3, min_repeat=args.min_repeat,
+        backend=args.backend)
     exp.print_config()
     exp.init()
     if args.print_relations:

@@ -72,10 +72,17 @@ class JoinResult:
         return out
 
 
+#: Auto-backend crossover: below this total row volume (build + probe) the
+#: native host engine finishes before the device path's dispatch latency
+#: (two device round trips + per-op launch overhead; PERF.md "Small-query
+#: crossover", calibrated with tools/crossover.py on v5e).
+HOST_CROSSOVER_ROWS = 2_000_000
+
+
 def join(build_keys, probe_keys, how: str = "nested",
          num_buckets: int | None = None, unique: bool = False,
          n_keys: int | None = None, key_domain: int | None = None,
-         backend: str = "device", mode: str = "inner") -> JoinResult:
+         backend: str = "auto", mode: str = "inner") -> JoinResult:
     """Equi-join ``probe_keys`` against ``build_keys``; returns row-id pairs.
 
     ``how``: "nested" (3D hash table, ``ht_nested.hh``) or "chaining"
@@ -83,9 +90,11 @@ def join(build_keys, probe_keys, how: str = "nested",
     early exit.  ``num_buckets`` defaults to the distinct-key count (the
     experiments' ``#dv / b`` policy with b=1).  ``n_keys`` / ``key_domain``
     are the optional build hints (see ``build_*_host``).  ``backend``:
-    "device" (TPU ops) or "host" (the native C++ engine -- exact same
+    "device" (TPU ops), "host" (the native C++ engine -- exact same
     counters, right choice for tiny ad-hoc queries where device dispatch
-    latency dominates).
+    latency dominates), or "auto" (default: route small 32-bit-key queries
+    to the host engine, everything else to the device; threshold
+    ``HOST_CROSSOVER_ROWS``).
 
     ``mode`` extends the reference's inner join (its only kind) with the
     standard variants, all derived from the same probe pass:
@@ -97,13 +106,21 @@ def join(build_keys, probe_keys, how: str = "nested",
     """
     if how not in ("nested", "chaining"):
         raise ValueError(f"how must be 'nested' or 'chaining', got {how!r}")
-    if backend not in ("device", "host"):
-        raise ValueError(f"backend must be 'device' or 'host', got {backend!r}")
+    if backend not in ("device", "host", "auto"):
+        raise ValueError(
+            f"backend must be 'device', 'host' or 'auto', got {backend!r}")
     if mode not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown mode {mode!r}")
 
     bk = np.ascontiguousarray(build_keys)
     pk = np.ascontiguousarray(probe_keys)
+
+    if backend == "auto":
+        from .hostengine import native_engine
+        small = bk.size + pk.size < HOST_CROSSOVER_ROWS
+        wide = bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8
+        backend = ("host" if small and not wide
+                   and native_engine() is not None else "device")
 
     empty = np.zeros(0, np.int32)
     if bk.size == 0 or pk.size == 0:

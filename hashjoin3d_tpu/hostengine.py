@@ -58,15 +58,33 @@ def native_engine():
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(str(_SO))
-        argt = [ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
-                ctypes.c_uint32, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        u32p, i32p, i64p = (ctypes.POINTER(ctypes.c_uint32),
+                            ctypes.POINTER(ctypes.c_int32),
+                            ctypes.POINTER(ctypes.c_int64))
+        argt = [u32p, ctypes.c_int64, u32p, ctypes.c_int64,
+                ctypes.c_uint32, ctypes.c_int, i32p, i32p,
+                ctypes.c_int64, i64p]
         lib.hj3e_chaining_join.restype = ctypes.c_int64
         lib.hj3e_chaining_join.argtypes = argt
         lib.hj3e_nested_join.restype = ctypes.c_int64
         lib.hj3e_nested_join.argtypes = argt
+        for create in (lib.hj3e_chaining_create, lib.hj3e_nested_create):
+            create.restype = ctypes.c_void_p
+            create.argtypes = [u32p, ctypes.c_int64, ctypes.c_uint32]
+        lib.hj3e_table_free.restype = None
+        lib.hj3e_table_free.argtypes = [ctypes.c_void_p]
+        probe_argt = [ctypes.c_void_p, u32p, ctypes.c_int64, ctypes.c_int,
+                      i32p, i32p, ctypes.c_int64, i64p]
+        lib.hj3e_chaining_probe.restype = ctypes.c_int64
+        lib.hj3e_chaining_probe.argtypes = probe_argt
+        lib.hj3e_nested_probe.restype = ctypes.c_int64
+        lib.hj3e_nested_probe.argtypes = probe_argt
+        two_argt = [ctypes.c_void_p, ctypes.c_void_p, u32p, ctypes.c_int64,
+                    i32p, i32p, i32p, ctypes.c_int64, i64p]
+        lib.hj3e_ndu_probe.restype = ctypes.c_int64
+        lib.hj3e_ndu_probe.argtypes = two_argt
+        lib.hj3e_chj_probe.restype = ctypes.c_int64
+        lib.hj3e_chj_probe.argtypes = two_argt
         _lib = lib
     except Exception:
         _lib = None
@@ -131,3 +149,103 @@ def host_nested_join(build_keys, probe_keys, num_buckets: int,
         if out_cap is not None:
             raise ValueError(f"out_cap={cap} too small (unnested={ctr[2]})")
         cap = max(int(ctr[2]), 1)  # counters are exact: retry once, exact-size
+
+
+class HostTable:
+    """Prebuilt native table handle (build/probe split for strand timing).
+
+    ``kind``: "chaining" or "nested".  The handle owns C++ CSR state built
+    once (the reference's build strand); probes run against it repeatedly.
+    """
+
+    def __init__(self, build_keys, num_buckets: int, kind: str = "nested"):
+        lib = native_engine()
+        if lib is None:
+            raise RuntimeError("native engine unavailable (g++ build failed?)")
+        self._lib = lib
+        self.kind = kind
+        self.num_buckets = int(num_buckets)
+        bk = np.ascontiguousarray(build_keys, np.uint32)
+        self.n_rows = bk.size
+        create = (lib.hj3e_nested_create if kind == "nested"
+                  else lib.hj3e_chaining_create)
+        self._h = create(_u32p(bk), bk.size, self.num_buckets)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.hj3e_table_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def probe(self, probe_keys, unique: bool = False, unnest: bool = True,
+              out_cap: int | None = None):
+        """Probe this table; same returns as host_{chaining,nested}_join."""
+        pk = np.ascontiguousarray(probe_keys, np.uint32)
+        cap = int(out_cap) if out_cap is not None else max(
+            16, 4 * pk.size + self.n_rows)
+        if self.kind == "nested" and not unnest:
+            cap = 1
+        while True:
+            op = np.empty(cap, np.int32)
+            ob = np.empty(cap, np.int32)
+            ctr = np.zeros(3, np.int64)
+            if self.kind == "nested":
+                n = self._lib.hj3e_nested_probe(
+                    self._h, _u32p(pk), pk.size, int(unnest), _i32p(op),
+                    _i32p(ob), cap, _i64p(ctr))
+                if n >= 0:
+                    return (op[:n].copy(), ob[:n].copy(),
+                            int(ctr[0]), int(ctr[1]), int(ctr[2]))
+                exact = int(ctr[2])
+            else:
+                n = self._lib.hj3e_chaining_probe(
+                    self._h, _u32p(pk), pk.size, int(unique), _i32p(op),
+                    _i32p(ob), cap, _i64p(ctr))
+                if n >= 0:
+                    return op[:n].copy(), ob[:n].copy(), int(ctr[0]), int(ctr[1])
+                exact = int(ctr[0])
+            if out_cap is not None:
+                raise ValueError(f"out_cap={cap} too small ({exact} results)")
+            cap = max(exact, 1)
+
+
+def host_two_join_probe(tbl_s: HostTable, tbl_t: HostTable, probe_keys,
+                        out_cap: int):
+    """Exp-4 probe strand on the host engine: Ndu (nested tables, deferred
+    unnesting) or Chj (chaining tables, immediate expansion) -- the kind is
+    taken from the tables.  Returns a dict with the same counter keys as the
+    device strands (models/exp4.py) plus the (r,s,t) row-id triples."""
+    assert tbl_s.kind == tbl_t.kind
+    lib = tbl_s._lib
+    pk = np.ascontiguousarray(probe_keys, np.uint32)
+    cap = max(int(out_cap), 1)
+    o_r = np.empty(cap, np.int32)
+    o_s = np.empty(cap, np.int32)
+    o_t = np.empty(cap, np.int32)
+    ctr = np.zeros(7, np.int64)
+    if tbl_s.kind == "nested":
+        n = lib.hj3e_ndu_probe(tbl_s._h, tbl_t._h, _u32p(pk), pk.size,
+                               _i32p(o_r), _i32p(o_s), _i32p(o_t), cap,
+                               _i64p(ctr))
+        if n < 0:
+            raise ValueError(f"out_cap={cap} too small "
+                             f"(c_top={int(ctr[6])})")
+        return dict(r_row=o_r[:n], s_row=o_s[:n], t_row=o_t[:n],
+                    c_probe_RS=int(ctr[0]), c_probe_RS_cmp=int(ctr[1]),
+                    c_probe_RT=int(ctr[2]), c_probe_RT_cmp=int(ctr[3]),
+                    c_unnest_1=int(ctr[4]), c_unnest_2=int(ctr[5]),
+                    c_top=int(ctr[6]))
+    n = lib.hj3e_chj_probe(tbl_s._h, tbl_t._h, _u32p(pk), pk.size,
+                           _i32p(o_r), _i32p(o_s), _i32p(o_t), cap,
+                           _i64p(ctr))
+    if n < 0:
+        raise ValueError(f"out_cap={cap} too small (c_top={int(ctr[4])})")
+    return dict(r_row=o_r[:n], s_row=o_s[:n], t_row=o_t[:n],
+                c_probe_RS=int(ctr[0]), c_probe_RS_cmp=int(ctr[1]),
+                c_probe_RT=int(ctr[2]), c_probe_RT_cmp=int(ctr[3]),
+                c_top=int(ctr[4]))

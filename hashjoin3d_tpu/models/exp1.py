@@ -134,7 +134,7 @@ class Experiment1:
     def __init__(self, log2_card_r: int, log2_card_s: int, skew: bool, t: int,
                  b: int = 1, measure_file=None, plans=("all",),
                  min_runtime_s: float = 0.3, min_repeat: int = 8,
-                 trace: bool = True):
+                 trace: bool = True, backend: str = "auto"):
         assert t <= log2_card_r
         self.log2_card_r = log2_card_r
         self.log2_card_s = log2_card_s
@@ -149,6 +149,8 @@ class Experiment1:
         self.timers = Timers()
         self.num_dv_sa = None
         self._rk = self._sa = None
+        assert backend in ("device", "host", "auto")
+        self.backend = backend
 
     # -- setup ---------------------------------------------------------------
 
@@ -194,6 +196,95 @@ class Experiment1:
         self.timers.print()
 
     # -- measurement core ------------------------------------------------------
+
+    # Auto-backend crossover: below this per-plan row volume
+    # (|build| + |probe| + |out|) the native host engine beats the device
+    # path -- two fenced strands cost ~2 tunnel round trips plus fixed
+    # kernel-launch overhead (PERF.md "Small-query crossover").
+    HOST_CROSSOVER_ROWS = 4_000_000
+
+    def _backend_for_plan(self, n_build, n_probe, n_out):
+        if self.backend != "auto":
+            return self.backend
+        from ..hostengine import native_engine
+        if native_engine() is None:
+            return "device"
+        vol = n_build + n_probe + n_out
+        return "host" if vol < self.HOST_CROSSOVER_ROWS else "device"
+
+    def _run_join_plan_host(self, name, build_keys, probe_keys, num_buckets,
+                            impl, build_rel, probe_rel, has_unnest,
+                            unique=False, unnest=True):
+        """One join plan end-to-end on the native host engine (same counters,
+        same CSV row shape)."""
+        import time
+
+        from ..hostengine import HostTable
+        from ..ops.stats import chaining_statistics_np, nested_statistics_np
+
+        self.timers.start(f"run{name}")
+        bk = np.asarray(build_keys)
+        pk = np.asarray(probe_keys)
+        out_cap = max(self.card_s, 1)
+        durs = dict(build=0.0, probe=0.0, total=0.0, last_probe=0.0)
+        state = {}
+
+        def once():
+            t0 = time.perf_counter()
+            table = HostTable(bk, num_buckets, kind=impl)
+            t1 = time.perf_counter()
+            if impl == "nested":
+                out = table.probe(pk, unnest=unnest, out_cap=out_cap)
+            else:
+                out = table.probe(pk, unique=unique, out_cap=out_cap)
+            t2 = time.perf_counter()
+            table.close()
+            durs["build"] += t1 - t0
+            durs["probe"] += t2 - t1
+            durs["total"] += t2 - t0
+            durs["last_probe"] = t2 - t1
+            state["out"] = out
+
+        once()  # warm allocator / page cache (mirrors the device warm-up)
+        for k in ("build", "probe", "total"):
+            durs[k] = 0.0
+        _, reps = repeat_mintime(self.min_runtime_s, once,
+                                 min_repeat=self.min_repeat)
+        out = state["out"]
+
+        stats = (nested_statistics_np if impl == "nested"
+                 else chaining_statistics_np)(bk, num_buckets)
+        if self.trace:
+            print(f"Plan {name} [host]")
+            print(f"  reps {reps}, build {durs['build']/reps*1e3:.3f} ms, "
+                  f"probe {durs['probe']/reps*1e3:.3f} ms")
+
+        if impl == "nested":
+            _, _, matches, cmps, unnested = out
+            c_top = unnested if unnest else matches
+            c_unnest = unnested if has_unnest else "NA"
+        else:
+            _, _, matches, cmps = out
+            c_top = matches
+            c_unnest = "NA"
+        row = [
+            name, impl, build_rel, probe_rel,
+            *stats.to_csv_fields(),
+            reps,
+            int(durs["total"] / reps * 1e9),
+            int(durs["build"] / reps * 1e9),
+            int(durs["probe"] / reps * 1e9),
+            int(durs["last_probe"] * 1e9),
+            len(bk), "NA", len(bk),
+            len(pk), "NA",
+            int(matches), int(cmps),
+            c_unnest,
+            int(c_top),
+        ]
+        self._write_params()
+        self.csv.write_fields(*row).newline()
+        self.timers.stop(f"run{name}")
+        return out
 
     def _run_join_plan(self, name, build_keys, probe_keys, num_buckets,
                        build_fn, probe_fn, impl, build_rel, probe_rel,
@@ -335,41 +426,74 @@ class Experiment1:
         # (main_experiment1.cc:425-428), enabling the one-gather direct probe.
         from ..ops.chaining import can_use_dense_direct
         dd_r = can_use_dense_direct(np.asarray(self._rk), nb_r)
+
+        def host_route(n_build, n_probe, n_out):
+            return self._backend_for_plan(n_build, n_probe, n_out) == "host"
+
         if "Csr" in self.plans:
-            self._run_join_plan(
-                "Csr", self._rk, self._sa, nb_r,
-                chaining_build(nb_r, self.card_r, dd_r),
-                lambda t, p: _chaining_probe_strand(t, p, self.card_s, True),
-                "chaining", "R", "S", has_unnest=False)
+            if host_route(self.card_r, self.card_s, self.card_s):
+                self._run_join_plan_host("Csr", self._rk, self._sa, nb_r,
+                                         "chaining", "R", "S", False,
+                                         unique=True)
+            else:
+                self._run_join_plan(
+                    "Csr", self._rk, self._sa, nb_r,
+                    chaining_build(nb_r, self.card_r, dd_r),
+                    lambda t, p: _chaining_probe_strand(t, p, self.card_s,
+                                                        True),
+                    "chaining", "R", "S", has_unnest=False)
         if "CsrUU" in self.plans:
-            self._run_join_plan(
-                "CsrUU", self._rk, self._sa, nb_r,
-                chaining_build(nb_r, self.card_r, dd_r),
-                lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
-                "chaining", "R", "S", has_unnest=False)
+            if host_route(self.card_r, self.card_s, self.card_s):
+                self._run_join_plan_host("CsrUU", self._rk, self._sa, nb_r,
+                                         "chaining", "R", "S", False)
+            else:
+                self._run_join_plan(
+                    "CsrUU", self._rk, self._sa, nb_r,
+                    chaining_build(nb_r, self.card_r, dd_r),
+                    lambda t, p: _chaining_probe_strand(t, p, self.card_s,
+                                                        False),
+                    "chaining", "R", "S", has_unnest=False)
         if "Crs" in self.plans:
-            self._run_join_plan(
-                "Crs", self._sa, self._rk, nb_s,
-                chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max,
-                               ee=False),
-                lambda t, p: _chaining_probe_strand(t, p, self.card_s, False),
-                "chaining", "S", "R", has_unnest=False)
+            if host_route(self.card_s, self.card_r, self.card_s):
+                self._run_join_plan_host("Crs", self._sa, self._rk, nb_s,
+                                         "chaining", "S", "R", False)
+            else:
+                self._run_join_plan(
+                    "Crs", self._sa, self._rk, nb_s,
+                    chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max,
+                                   ee=False),
+                    lambda t, p: _chaining_probe_strand(t, p, self.card_s,
+                                                        False),
+                    "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:
-            self._run_join_plan(
-                "Nsr", self._rk, self._sa, nb_r,
-                nested_build(nb_r, self.card_r, dd_r),
-                lambda t, p: _nested_probe_strand(t, p, self.card_s),
-                "nested", "R", "S", has_unnest=True)
+            if host_route(self.card_r, self.card_s, self.card_s):
+                self._run_join_plan_host("Nsr", self._rk, self._sa, nb_r,
+                                         "nested", "R", "S", True)
+            else:
+                self._run_join_plan(
+                    "Nsr", self._rk, self._sa, nb_r,
+                    nested_build(nb_r, self.card_r, dd_r),
+                    lambda t, p: _nested_probe_strand(t, p, self.card_s),
+                    "nested", "R", "S", has_unnest=True)
         if "Nrs" in self.plans:
-            self._run_join_plan(
-                "Nrs", self._sa, self._rk, nb_s,
-                nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
-                lambda t, p: _nested_probe_strand(t, p, self.card_s),
-                "nested", "S", "R", has_unnest=True)
+            if host_route(self.card_s, self.card_r, self.card_s):
+                self._run_join_plan_host("Nrs", self._sa, self._rk, nb_s,
+                                         "nested", "S", "R", True)
+            else:
+                self._run_join_plan(
+                    "Nrs", self._sa, self._rk, nb_s,
+                    nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
+                    lambda t, p: _nested_probe_strand(t, p, self.card_s),
+                    "nested", "S", "R", has_unnest=True)
         if "NrsNU" in self.plans:
-            self._run_join_plan(
-                "NrsNU", self._sa, self._rk, nb_s,
-                nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
-                lambda t, p: _nested_probe_strand_nounnest(t, p),
-                "nested", "S", "R", has_unnest=False)
+            if host_route(self.card_s, self.card_r, 0):
+                self._run_join_plan_host("NrsNU", self._sa, self._rk, nb_s,
+                                         "nested", "S", "R", False,
+                                         unnest=False)
+            else:
+                self._run_join_plan(
+                    "NrsNU", self._sa, self._rk, nb_s,
+                    nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
+                    lambda t, p: _nested_probe_strand_nounnest(t, p),
+                    "nested", "S", "R", has_unnest=False)
         self.timers.stop("run")

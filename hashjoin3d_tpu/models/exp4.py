@@ -121,7 +121,7 @@ class Experiment4:
     def __init__(self, log2_card_r: int, alpha: int, mult_alpha: int,
                  beta: int, mult_beta: int, measure_file=None, plans=("all",),
                  min_runtime_s: float = 0.3, min_repeat: int = 8,
-                 trace: bool = True):
+                 trace: bool = True, backend: str = "auto"):
         self.log2_card_r = log2_card_r
         self.alpha, self.beta = alpha, beta
         self.mult_alpha, self.mult_beta = mult_alpha, mult_beta
@@ -132,6 +132,8 @@ class Experiment4:
         self.csv = CSVWriter(measure_file)
         self.timers = Timers()
         self._rk = self._sa = self._ta = None
+        assert backend in ("device", "host", "auto")
+        self.backend = backend
 
     @staticmethod
     def _resolve_plans(plans):
@@ -260,7 +262,86 @@ class Experiment4:
             self.log2_card_r, self.alpha, self.mult_alpha, self.beta,
             self.mult_beta, self.card_r, self.card_s, self.card_t)
 
+    # Auto-backend crossover: below this total row volume (|R|+|S|+|T|+|out|)
+    # the native host engine beats the device path -- three fenced strands
+    # cost ~3 tunnel round trips (~93 ms) plus ~40 fixed-cost kernel
+    # launches, which dwarfs device compute on ~1M-row plans (PERF.md
+    # "Small-query crossover"; calibrated on v5e, see tools/crossover.py).
+    HOST_CROSSOVER_ROWS = 12_000_000
+
+    def _backend_for_plan(self, name):
+        if self.backend != "auto":
+            return self.backend
+        from ..hostengine import native_engine
+        if name == "Nnu" or native_engine() is None:
+            return "device"
+        vol = (self.card_r + self.card_s + self.card_t
+               + self.calc_join_card2())
+        return "host" if vol < self.HOST_CROSSOVER_ROWS else "device"
+
+    def _run_plan_host(self, name):
+        """Run one plan end-to-end on the native host engine (same counters,
+        same CSV row shape; the right choice for small configs where device
+        dispatch latency dominates -- see HOST_CROSSOVER_ROWS)."""
+        from ..hostengine import HostTable, host_two_join_probe
+
+        nested = name == "Ndu"
+        num_dv_fk = self.num_fk_common + self.num_fk_exclusive
+        kind = "nested" if nested else "chaining"
+        sa, ta = np.asarray(self._sa), np.asarray(self._ta)
+        rk = np.asarray(self._rk)
+        out_cap = max(self.calc_join_card2(), 1)
+
+        durs = dict(bs=0.0, bt=0.0, probe=0.0, total=0.0)
+        state = {}
+
+        def once():
+            t0 = time.perf_counter()
+            tbl_s = HostTable(sa, num_dv_fk, kind=kind)
+            t1 = time.perf_counter()
+            tbl_t = HostTable(ta, num_dv_fk, kind=kind)
+            t2 = time.perf_counter()
+            out = host_two_join_probe(tbl_s, tbl_t, rk, out_cap)
+            t3 = time.perf_counter()
+            tbl_s.close()
+            tbl_t.close()
+            durs["bs"] += t1 - t0
+            durs["bt"] += t2 - t1
+            durs["probe"] += t3 - t2
+            durs["total"] += t3 - t0
+            state["out"] = out
+
+        once()  # warm the allocator / page cache like the device warm-up
+        for k in durs:
+            durs[k] = 0.0
+        _, reps = repeat_mintime(self.min_runtime_s, once,
+                                 min_repeat=self.min_repeat)
+        out = state["out"]
+
+        if self.trace:
+            print(f"Plan {name} [host]: reps {reps}, "
+                  f"probe {durs['probe']/reps*1e3:.3f} ms, "
+                  f"c_top {int(out['c_top'])}")
+
+        self._write_params()
+        self.csv.write_fields(
+            name, "nested" if nested else "chaining", reps,
+            int(durs["total"] / reps * 1e9),
+            int(durs["bs"] / reps * 1e9),
+            int(durs["bt"] / reps * 1e9),
+            int(durs["probe"] / reps * 1e9),
+            self.card_r, self.card_s, self.card_t,
+            self.card_s, self.card_t,
+            int(out["c_probe_RS"]), int(out["c_probe_RS_cmp"]),
+            int(out["c_probe_RT"]), int(out["c_probe_RT_cmp"]),
+            int(out["c_unnest_1"]) if "c_unnest_1" in out else "NA",
+            int(out["c_unnest_2"]) if "c_unnest_2" in out else "NA",
+            int(out["c_top"]),
+        ).newline()
+
     def _run_plan(self, name):
+        if self._backend_for_plan(name) == "host":
+            return self._run_plan_host(name)
         nested = name in ("Ndu", "Nnu")
         num_dv_fk = self.num_fk_common + self.num_fk_exclusive
         from ..ops.chaining import build_chaining_host

@@ -71,9 +71,280 @@ struct BucketCsr {
   }
 };
 
+// Nested (3D) table: distinct-key grouping per bucket, preserving arrival
+// orders (main chain = key first-arrival order, ht_nested.hh:286-311).
+struct NestedCsr {
+  BucketCsr csr;
+  std::vector<int64_t> mstart;   // mains per bucket (num_buckets + 1)
+  std::vector<uint32_t> mkeys;   // main-chain keys, bucket-major
+  std::vector<int64_t> gstart;   // group start into grows, per main (+1 slot)
+  std::vector<int32_t> grows;    // group rows, arrival order per key
+
+  NestedCsr(const uint32_t* bk, int64_t n, uint32_t nbuckets)
+      : csr(bk, n, nbuckets) {
+    mstart.assign((size_t)nbuckets + 1, 0);
+    mkeys.reserve(n);
+    grows.reserve(n);
+    for (uint32_t b = 0; b < nbuckets; ++b) {
+      const int64_t s = csr.start[b], e = csr.start[b + 1];
+      const size_t first_main = mkeys.size();
+      // pass 1: distinct keys in arrival order + group sizes
+      for (int64_t i = s; i < e; ++i) {
+        const uint32_t k = csr.keys[i];
+        size_t m = first_main;
+        for (; m < mkeys.size(); ++m)
+          if (mkeys[m] == k) break;
+        if (m == mkeys.size()) {
+          mkeys.push_back(k);
+          gstart.push_back(1);  // temporarily: group length
+        } else {
+          ++gstart[m];
+        }
+      }
+      mstart[b + 1] = (int64_t)mkeys.size();
+      // pass 2: fill groups in arrival order
+      int64_t base = (int64_t)grows.size();
+      for (size_t m = first_main; m < mkeys.size(); ++m) {
+        int64_t len = gstart[m];
+        gstart[m] = base;
+        base += len;
+      }
+      grows.resize(base);
+      std::vector<int64_t> cur(gstart.begin() + first_main, gstart.end());
+      for (int64_t i = s; i < e; ++i) {
+        const uint32_t k = csr.keys[i];
+        size_t m = first_main;
+        for (;; ++m)
+          if (mkeys[m] == k) break;
+        grows[cur[m - first_main]++] = csr.rows[i];
+      }
+    }
+    gstart.push_back((int64_t)grows.size());
+  }
+
+  uint32_t nbuckets() const { return (uint32_t)(mstart.size() - 1); }
+
+  // findMainNodeByOther (ht_nested.hh:354-382): walk the bucket's main
+  // chain; returns main index or -1, accumulates comparisons.
+  inline int64_t find_main(uint32_t k, int64_t& cmps) const {
+    const uint32_t b = murmur32(k) % nbuckets();
+    const int64_t ms = mstart[b], me = mstart[b + 1];
+    for (int64_t m = ms; m < me; ++m) {
+      ++cmps;
+      if (mkeys[m] == k) return m;
+    }
+    return -1;
+  }
+};
+
+// Opaque table handles for the build/probe-split ABI (lets the Python
+// harness time build and probe strands separately, like the reference's
+// operator strands).
+struct TableHandle {
+  int kind;  // 0 = chaining (BucketCsr), 1 = nested (NestedCsr)
+  uint32_t nbuckets;
+  BucketCsr* chaining = nullptr;
+  NestedCsr* nested = nullptr;
+  ~TableHandle() {
+    delete chaining;
+    delete nested;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+void* hj3e_chaining_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+  auto* h = new TableHandle;
+  h->kind = 0;
+  h->nbuckets = nbuckets;
+  h->chaining = new BucketCsr(bk, n, nbuckets);
+  return h;
+}
+
+void* hj3e_nested_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+  auto* h = new TableHandle;
+  h->kind = 1;
+  h->nbuckets = nbuckets;
+  h->nested = new NestedCsr(bk, n, nbuckets);
+  return h;
+}
+
+void hj3e_table_free(void* hv) { delete (TableHandle*)hv; }
+
+// Probe a prebuilt chaining table (same semantics/counters as
+// hj3e_chaining_join below).
+int64_t hj3e_chaining_probe(void* hv, const uint32_t* pk, int64_t n_probe,
+                            int unique, int32_t* out_probe,
+                            int32_t* out_build, int64_t out_cap,
+                            int64_t* counters) {
+  auto& csr = *((TableHandle*)hv)->chaining;
+  const uint32_t num_buckets = ((TableHandle*)hv)->nbuckets;
+  int64_t matches = 0, cmps = 0, written = 0;
+  bool overflow = false;
+  for (int64_t p = 0; p < n_probe; ++p) {
+    const uint32_t k = pk[p];
+    const uint32_t b = murmur32(k) % num_buckets;
+    const int64_t s = csr.start[b], len = csr.start[b + 1] - s;
+    for (int64_t j = 0; j < len; ++j) {
+      const int64_t a = s + BucketCsr::chain_pos_to_arrival(j, len);
+      ++cmps;
+      if (csr.keys[a] == k) {
+        ++matches;
+        if (written < out_cap) {
+          out_probe[written] = (int32_t)p;
+          out_build[written] = csr.rows[a];
+          ++written;
+        } else {
+          overflow = true;
+        }
+        if (unique) break;
+      }
+    }
+  }
+  counters[0] = matches;
+  counters[1] = cmps;
+  return overflow ? -1 : written;
+}
+
+// Probe a prebuilt nested table (same semantics/counters as
+// hj3e_nested_join below).
+int64_t hj3e_nested_probe(void* hv, const uint32_t* pk, int64_t n_probe,
+                          int do_unnest, int32_t* out_probe,
+                          int32_t* out_build, int64_t out_cap,
+                          int64_t* counters) {
+  auto& nt = *((TableHandle*)hv)->nested;
+  int64_t matches = 0, cmps = 0, unnested = 0, written = 0;
+  bool overflow = false;
+  for (int64_t p = 0; p < n_probe; ++p) {
+    const int64_t m = nt.find_main(pk[p], cmps);
+    if (m < 0) continue;
+    ++matches;
+    const int64_t gs = nt.gstart[m], glen = nt.gstart[m + 1] - gs;
+    unnested += glen;
+    if (do_unnest) {
+      for (int64_t j = 0; j < glen; ++j) {
+        const int64_t a = gs + BucketCsr::chain_pos_to_arrival(j, glen);
+        if (written < out_cap) {
+          out_probe[written] = (int32_t)p;
+          out_build[written] = nt.grows[a];
+          ++written;
+        } else {
+          overflow = true;
+        }
+      }
+    }
+  }
+  counters[0] = matches;
+  counters[1] = cmps;
+  counters[2] = unnested;
+  return overflow ? -1 : written;
+}
+
+// Exp-4 Ndu probe strand over two prebuilt nested tables
+// (main_experiment4.cc:832-941): scan R -> NestProbe(S) -> NestProbe(T)
+// -> Unnest(T) -> Unnest(S) -> Top.  counters[7]:
+// [c_probe_RS, c_probe_RS_cmp, c_probe_RT, c_probe_RT_cmp,
+//  c_unnest_1 (T expansion), c_unnest_2 (S expansion), c_top].
+// out_* receive (r_row, s_row, t_row) triples; returns written or -1 on
+// overflow (counters stay exact).
+int64_t hj3e_ndu_probe(void* hs, void* ht, const uint32_t* pk,
+                       int64_t n_probe, int32_t* out_r, int32_t* out_s,
+                       int32_t* out_t, int64_t out_cap, int64_t* counters) {
+  auto& S = *((TableHandle*)hs)->nested;
+  auto& T = *((TableHandle*)ht)->nested;
+  int64_t mS = 0, cS = 0, mT = 0, cT = 0, un1 = 0, un2 = 0, written = 0;
+  bool overflow = false;
+  for (int64_t p = 0; p < n_probe; ++p) {
+    const uint32_t k = pk[p];
+    const int64_t ms = S.find_main(k, cS);
+    if (ms < 0) continue;  // no S match: T probe never runs (mask semantics)
+    ++mS;
+    const int64_t mt = T.find_main(k, cT);
+    if (mt < 0) continue;
+    ++mT;
+    const int64_t sgs = S.gstart[ms], slen = S.gstart[ms + 1] - sgs;
+    const int64_t tgs = T.gstart[mt], tlen = T.gstart[mt + 1] - tgs;
+    un1 += tlen;          // Unnest(T) expands the nested (p, {S}, {T}) tuple
+    un2 += tlen * slen;   // Unnest(S) expands each of those rows
+    for (int64_t j = 0; j < tlen; ++j) {
+      const int32_t t_row =
+          T.grows[tgs + BucketCsr::chain_pos_to_arrival(j, tlen)];
+      for (int64_t i = 0; i < slen; ++i) {
+        const int32_t s_row =
+            S.grows[sgs + BucketCsr::chain_pos_to_arrival(i, slen)];
+        if (written < out_cap) {
+          out_r[written] = (int32_t)p;
+          out_s[written] = s_row;
+          out_t[written] = t_row;
+          ++written;
+        } else {
+          overflow = true;
+        }
+      }
+    }
+  }
+  counters[0] = mS;
+  counters[1] = cS;
+  counters[2] = mT;
+  counters[3] = cT;
+  counters[4] = un1;
+  counters[5] = un2;
+  counters[6] = un2;  // c_top == c_unnest_2
+  return overflow ? -1 : written;
+}
+
+// Exp-4 Chj probe strand over two prebuilt chaining tables
+// (main_experiment4.cc:943-1043): Probe(S) materializes every RS pair,
+// then each PAIR probes T with its R key (full chain walks, no early
+// exit).  counters[5]: [c_probe_RS, c_probe_RS_cmp, c_probe_RT,
+// c_probe_RT_cmp, c_top].
+int64_t hj3e_chj_probe(void* hs, void* ht, const uint32_t* pk,
+                       int64_t n_probe, int32_t* out_r, int32_t* out_s,
+                       int32_t* out_t, int64_t out_cap, int64_t* counters) {
+  auto& S = *((TableHandle*)hs)->chaining;
+  auto& T = *((TableHandle*)ht)->chaining;
+  const uint32_t nbS = ((TableHandle*)hs)->nbuckets;
+  const uint32_t nbT = ((TableHandle*)ht)->nbuckets;
+  int64_t mS = 0, cS = 0, mT = 0, cT = 0, written = 0;
+  bool overflow = false;
+  for (int64_t p = 0; p < n_probe; ++p) {
+    const uint32_t k = pk[p];
+    const uint32_t bs = murmur32(k) % nbS;
+    const int64_t ss = S.start[bs], slen = S.start[bs + 1] - ss;
+    for (int64_t j = 0; j < slen; ++j) {
+      const int64_t a = ss + BucketCsr::chain_pos_to_arrival(j, slen);
+      ++cS;
+      if (S.keys[a] != k) continue;
+      ++mS;
+      const int32_t s_row = S.rows[a];
+      // one T probe per materialized RS pair, hashing the pair's R key
+      const uint32_t bt = murmur32(k) % nbT;
+      const int64_t ts = T.start[bt], tlen = T.start[bt + 1] - ts;
+      for (int64_t q = 0; q < tlen; ++q) {
+        const int64_t c = ts + BucketCsr::chain_pos_to_arrival(q, tlen);
+        ++cT;
+        if (T.keys[c] != k) continue;
+        ++mT;
+        if (written < out_cap) {
+          out_r[written] = (int32_t)p;
+          out_s[written] = s_row;
+          out_t[written] = T.rows[c];
+          ++written;
+        } else {
+          overflow = true;
+        }
+      }
+    }
+  }
+  counters[0] = mS;
+  counters[1] = cS;
+  counters[2] = mT;
+  counters[3] = cT;
+  counters[4] = mT;  // c_top == emitted triples
+  return overflow ? -1 : written;
+}
 
 // Chaining hash join (HtChaining1 + AlgHashJoinProbe semantics,
 // ht_chaining.hh:236-248 / algebra.hh:625-659).

@@ -147,3 +147,24 @@ def nested_statistics(table: NestedTable) -> HtStatistics:
     """
     bml = np.asarray(table.bucket_main_len)
     return _from_chain_lens(bml, table.keys.shape[0], int(table.groups.n_keys))
+
+
+def chaining_statistics_np(build_keys: np.ndarray,
+                           num_buckets: int) -> HtStatistics:
+    """Same statistics computed from the raw build keys (host backend path:
+    no device table exists).  Equal to :func:`chaining_statistics` of a table
+    built from the same keys."""
+    bk = np.asarray(build_keys, np.uint32)
+    h = murmur32_np(bk)
+    blen = np.bincount(h % np.uint32(num_buckets), minlength=num_buckets)
+    return _from_chain_lens(blen, bk.size, np.unique(h).size)
+
+
+def nested_statistics_np(build_keys: np.ndarray,
+                         num_buckets: int) -> HtStatistics:
+    """Host-backend twin of :func:`nested_statistics`."""
+    bk = np.asarray(build_keys, np.uint32)
+    uk = np.unique(bk)
+    bml = np.bincount(murmur32_np(uk) % np.uint32(num_buckets),
+                      minlength=num_buckets)
+    return _from_chain_lens(bml, bk.size, uk.size)

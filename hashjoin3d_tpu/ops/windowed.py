@@ -22,9 +22,12 @@ caller validates coverage with :func:`windowed_coverage_ok` (one device
 reduction riding the same sorted keys) and falls back to the XLA gather
 when the distribution is too sparse.
 
-Measured on v5e (tools/roofline.py): 16.8M lookups into a 1M-entry table in
-~8 ms (vs 168 ms for the XLA gather) -- the full sorted pipeline
-(sort + windowed lookup) turns the 152 ms Csr probe strand into ~95 ms.
+Measured on v5e (tools/roofline.py, fence-amortized): 16.8M lookups into a
+1M-entry table in 5.0 ms vs 144 ms for the XLA gather (29x); the full
+sort + windowed pipeline for UNSORTED probes is 54.6 ms (2.6x), now bounded
+by the sort.  For probe streams that are already (nearly) sorted -- exp-4's
+iota R.k, or any key_direct image over a dense domain -- the sort drops out
+and the full 29x materializes.
 """
 
 from __future__ import annotations
@@ -38,39 +41,72 @@ import numpy as np
 from .layout import I32, U32
 
 # Chunk of probes resolved per grid step and the table-window width.  C is a
-# multiple of 8*128 so the (C, W) one-hot tile maps exactly onto VPU lanes;
-# W is a multiple of 128 (lane width) and of the 128-element alignment the
-# window DMA uses.
-DEFAULT_C = 2048
+# multiple of 8*128 so the (C, 128) select tiles map exactly onto VPU lanes
+# (larger C inflates the kernel's scoped-VMEM stack past Mosaic's limit:
+# every (C, 128) intermediate is C/2 KiB); W >= 1024 keeps the window DMA
+# row offset divisible by the (8, 128) sublane tile.
+DEFAULT_C = 1024
 DEFAULT_W = 1024
 
 
 def _windowed_kernel(bases_ref, keys_ref, table_ref, out_ref, window, sem):
-    """One grid step: resolve C sorted keys against window [base, base+W).
+    """One grid step: resolve C sorted keys against window [base, base+2W).
 
-    bases_ref: SMEM i32[nchunks] (scalar-prefetched window bases)
+    Everything is laid out 2D with a 128-lane minor axis (Mosaic's native
+    (8, 128) i32 tiling; 1D formulations hit tiling-mismatch / divisibility
+    errors in the DMA lowering):
+
+    bases_ref: SMEM i32[nchunks] scalar-prefetched window bases, W-aligned
+               (W >= 1024 keeps the DMA row offset divisible by the 8-row
+               sublane tile; the 2W window covers any chunk spread <= W)
     keys_ref:  VMEM i32[C, 1] sorted keys of this chunk
-    table_ref: HBM  u32[T] full table (manually DMA'd)
+    table_ref: u32[T//128, 128] the table, 128 entries per row
+               (compiler-placed, typically HBM; manually DMA'd)
     out_ref:   VMEM u32[C, 1] looked-up values (0 where key not in window)
+    window:    VMEM u32[2W//128, 128] scratch
+
+    The lookup decomposes delta = key - base into (row, lane): a static
+    R-iteration select loop resolves the row (R = 2W/128 = 16 at the
+    default W), one lane-iota select resolves the lane -- ~2W + 3*128 VPU
+    ops per probe instead of one serialized scalar fetch.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    C = keys_ref.shape[0]
-    W = window.shape[1]
+    Cr = keys_ref.shape[0]         # == C // 128 sublane rows of 128 keys
+    C = Cr * 128
+    R = window.shape[0]            # == 2 * W // 128
+    W = R * 128 // 2
     j = pl.program_id(0)
-    base = bases_ref[j]
+    base = pl.multiple_of(bases_ref[j], W)
+    base_row = pl.multiple_of(jax.lax.div(base, jnp.int32(128)),
+                              W // 128)
 
     copy = pltpu.make_async_copy(
-        table_ref.at[pl.ds(base, W)], window.at[0], sem)
+        table_ref.at[pl.ds(base_row, R), :], window, sem)
     copy.start()
     copy.wait()
 
-    delta = keys_ref[:] - base                                   # (C, 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-    onehot = iota == delta                                       # (C, W)
-    vals = jnp.where(onehot, window[:], jnp.uint32(0))           # (1,W)->(C,W)
-    out_ref[:] = jnp.sum(vals, axis=1, keepdims=True, dtype=jnp.uint32)
+    # Probes stay in their natural (Cr, 128) tile (relayouts to (C, 1)
+    # columns are unsupported shape casts in Mosaic).  delta = key - base
+    # decomposes into (window row, lane); the lane permutation runs on the
+    # hardware gather unit via same-shape 2D take_along_axis
+    # (tpu.dynamic_gather -- the one shape this toolchain lowers), one call
+    # per window row, combined by an R-step select loop.
+    delta = keys_ref[:] - base                                   # (Cr, 128)
+    hi = jax.lax.shift_right_logical(delta, jnp.int32(7))        # window row
+    lo = delta & jnp.int32(127)                                  # lane
+    win_i32 = pltpu.bitcast(window[:], jnp.int32)                # (R, 128)
+
+    acc = jnp.zeros((Cr, 128), jnp.int32)
+    for r in range(R):
+        row = jnp.broadcast_to(win_i32[r:r + 1, :], (Cr, 128))
+        # under global x64 take_along_axis builds i64 iota indices, which
+        # Mosaic rejects -- trace this op in 32-bit mode
+        with jax.enable_x64(False):
+            g_r = jnp.take_along_axis(row, lo, axis=1)   # win[r, lo[i,j]]
+        acc = jnp.where(hi == r, g_r, acc)
+    out_ref[:] = pltpu.bitcast(acc, jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("C", "W", "interpret"))
@@ -79,12 +115,16 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
                     interpret: bool = False) -> jax.Array:
     """``table[keys_sorted]`` for nondecreasing keys, without a gather.
 
-    ``table``: u32[T] with T >= W; ``keys_sorted``: i32[n] nondecreasing,
-    n a multiple of C (pad with an out-of-range key, e.g. T).  Keys outside
-    their chunk's window -- including any key >= T -- yield 0; for packed
-    direct words 0 is never a valid entry (the chain position field is
-    1-based), so 0 doubles as the miss marker.  Coverage of in-range keys
-    must be pre-validated with :func:`windowed_coverage_ok`.
+    ``table``: u32[T] with T >= 2W and T a multiple of W; ``keys_sorted``:
+    i32[n], n a multiple of C (pad with -1), NEARLY nondecreasing: windows
+    anchor on each chunk's max key, so interspersed negative miss markers
+    (e.g. the -1 holes of a ``key_direct`` image) are fine as long as each
+    chunk's in-range keys span <= W.  Keys outside their chunk's window --
+    negative or >= T -- yield 0; for packed direct words 0 is never a valid
+    entry (the chain position field is 1-based), so 0 doubles as the miss
+    marker.  Coverage of in-range keys must be pre-validated with
+    :func:`windowed_coverage_ok`.  ``W`` must be >= 1024 (Mosaic tiling)
+    and a power of two.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -92,42 +132,63 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
     n = keys_sorted.shape[0]
     T = table.shape[0]
     assert n % C == 0, f"pad keys to a multiple of {C}"
-    assert T >= W, f"table smaller than window ({T} < {W})"
+    assert C % 128 == 0, "C must be a multiple of 128"
+    assert W >= 1024 and (W & (W - 1)) == 0, "W must be a power of two >= 1024"
+    assert T >= 2 * W, f"table smaller than window ({T} < {2*W})"
+    assert T % W == 0, f"table size must be a multiple of W ({T} % {W})"
+    assert T % 128 == 0, "table size must be a multiple of 128"
     nchunks = n // C
 
     keys_sorted = keys_sorted.astype(I32)
     bases = chunk_bases(keys_sorted, T, C, W)
 
+    # Probes travel as a dense (n//128, 128) matrix ((C//128, 128) blocks,
+    # row-major, so each block is a contiguous sorted chunk): a (n, 1)
+    # probe tensor would get the (8, 128) tiled HBM layout -- 128x padding
+    # (7.9 GB at 2^24 rows) -- and 1-wide blocks are rejected outright.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((C, 1), lambda j, bases: (j, 0),
+            # NB x64 mode: a literal python int in the index map traces as
+            # i64 and Mosaic rejects the lowered transform -- keep i32
+            pl.BlockSpec((C // 128, 128), lambda j, bases: (j, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # table: compiler-placed
         ],
-        out_specs=pl.BlockSpec((C, 1), lambda j, bases: (j, 0),
+        out_specs=pl.BlockSpec((C // 128, 128),
+                               lambda j, bases: (j, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((1, W), jnp.uint32),
+            pltpu.VMEM((2 * W // 128, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         _windowed_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(bases, keys_sorted.reshape(n, 1), table.astype(U32))
+    )(bases, keys_sorted.reshape(n // 128, 128),
+      table.astype(U32).reshape(T // 128, 128))
     return out.reshape(n)
 
 
 @partial(jax.jit, static_argnames=("T", "C", "W"))
 def chunk_bases(keys_sorted: jax.Array, T: int, C: int, W: int) -> jax.Array:
-    """Window base per chunk: first key of the chunk, aligned down to 128
-    (DMA-friendly offset), clamped so the window stays inside the table."""
-    k0 = keys_sorted[::C].astype(I32)
-    base = jnp.clip(k0 & ~jnp.int32(127), 0, max(T - W, 0))
+    """Window base per chunk: the chunk's MAX key aligned down to W, minus
+    W, clamped into the table (T is a multiple of W, so the clamp keeps the
+    alignment Mosaic's tiling-divisibility check needs).
+
+    Anchoring on the max (not the first key) makes miss markers robust:
+    nearly-sorted key streams with interspersed ``-1`` holes (e.g. a
+    ``key_direct`` image over a dense domain) still get a window covering
+    every in-range key as long as the chunk's in-range spread is <= W.
+    """
+    kmax = jnp.max(keys_sorted.reshape(-1, C).astype(I32), axis=1)
+    base = jnp.clip((kmax & ~jnp.int32(W - 1)) - W, 0, max(T - 2 * W, 0))
     return base
 
 
@@ -144,11 +205,13 @@ def windowed_coverage_ok(keys_sorted: jax.Array, T: int,
     n = keys_sorted.shape[0]
     pad = (-n) % C
     if pad:
+        # pad with -1 (a miss marker): padding with T would move every
+        # tail-chunk window to the end of the table, past the real keys
         keys_sorted = jnp.concatenate(
-            [keys_sorted, jnp.full(pad, T, I32)])
+            [keys_sorted, jnp.full(pad, -1, I32)])
     k2 = keys_sorted.reshape(-1, C)
     bases = chunk_bases(keys_sorted, T, C, W)
     delta = k2 - bases[:, None]
     in_range = (k2 >= 0) & (k2 < T)
-    ok = jnp.where(in_range, (delta >= 0) & (delta < W), True)
+    ok = jnp.where(in_range, (delta >= 0) & (delta < 2 * W), True)
     return jnp.all(ok)

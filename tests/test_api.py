@@ -157,3 +157,26 @@ def test_take_empty_build_column():
     r = hj.join(np.zeros(0, np.uint32), pk, mode="left")
     cols = r.take(build_cols={"bv": np.zeros(0, np.int32)})
     np.testing.assert_array_equal(cols["bv"], np.zeros(2, np.int32))
+
+
+def test_join_backend_auto_routing():
+    """auto = host for small 32-bit queries (when native available), device
+    for u64 keys; results identical either way."""
+    from hashjoin3d_tpu.hostengine import native_engine
+
+    rng = np.random.default_rng(11)
+    bk = rng.integers(0, 40, 100, dtype=np.uint32)
+    pk = rng.integers(0, 50, 200, dtype=np.uint32)
+    ra = hj.join(bk, pk, backend="auto")
+    rd = hj.join(bk, pk, backend="device")
+    assert ra.num_matches == rd.num_matches
+    assert ra.num_cmps == rd.num_cmps
+    assert sorted(ra.pairs()) == sorted(rd.pairs())
+    if native_engine() is not None:
+        rh = hj.join(bk, pk, backend="host")
+        assert sorted(ra.pairs()) == sorted(rh.pairs())
+
+    # u64 keys must auto-route to device (host would truncate)
+    bk64 = np.array([1, (1 << 40) | 1], np.uint64)
+    r64 = hj.join(bk64, np.array([(1 << 40) | 1], np.uint64), backend="auto")
+    assert sorted(r64.pairs()) == [(0, 1)]

@@ -56,31 +56,41 @@ def _diff(ref_hdr, ref_rows, got_hdr, got_rows, plan_col):
     assert not mismatches, mismatches
 
 
+@pytest.mark.parametrize("backend", ["device", "host"])
 @pytest.mark.parametrize("golden,params", [
     ("e1_R6_S8_uni_t0.csv", dict(log2_card_r=6, log2_card_s=8, skew=False,
                                  t=0, b=1)),
     ("e1_R7_S9_zipf_t2_b2.csv", dict(log2_card_r=7, log2_card_s=9, skew=True,
                                      t=2, b=2)),
 ])
-def test_exp1_csv_matches_reference(golden, params):
+def test_exp1_csv_matches_reference(golden, params, backend):
+    if backend == "host":
+        from hashjoin3d_tpu.hostengine import native_engine
+        if native_engine() is None:
+            pytest.skip("no native toolchain")
     buf = io.StringIO()
     exp = Experiment1(**params, measure_file=buf, min_runtime_s=0.0,
-                      min_repeat=1, trace=False)
+                      min_repeat=1, trace=False, backend=backend)
     exp.init()
     exp.run()
     _diff(*_load(GOLDEN / golden), *_load(buf.getvalue()), plan_col=9)
 
 
+@pytest.mark.parametrize("backend", ["device", "host"])
 @pytest.mark.parametrize("golden,params", [
     ("e4_R6_a2_A2_b3_B2.csv", dict(log2_card_r=6, alpha=2, mult_alpha=2,
                                    beta=3, mult_beta=2)),
     ("e4_R8_a3_A3_b2_B1.csv", dict(log2_card_r=8, alpha=3, mult_alpha=3,
                                    beta=2, mult_beta=1)),
 ])
-def test_exp4_csv_matches_reference(golden, params):
+def test_exp4_csv_matches_reference(golden, params, backend):
+    if backend == "host":
+        from hashjoin3d_tpu.hostengine import native_engine
+        if native_engine() is None:
+            pytest.skip("no native toolchain")
     buf = io.StringIO()
     exp = Experiment4(**params, measure_file=buf, min_runtime_s=0.0,
-                      min_repeat=1, trace=False)
+                      min_repeat=1, trace=False, backend=backend)
     exp.init()
     exp.run()
     _diff(*_load(GOLDEN / golden), *_load(buf.getvalue()), plan_col=10)

@@ -93,3 +93,78 @@ def test_host_engine_overflow():
         host_chaining_join(bk, pk, 4, out_cap=8)
     with pytest.raises(ValueError, match="too small"):
         host_nested_join(bk, pk, 4, out_cap=8)
+
+
+def test_host_table_handles_match_one_shot():
+    """Prebuilt HostTable probes == one-shot joins (same counters/pairs)."""
+    from hashjoin3d_tpu.hostengine import HostTable
+
+    rng = np.random.default_rng(5)
+    bk = rng.integers(0, 50, 200, dtype=np.uint32)
+    pk = rng.integers(0, 64, 300, dtype=np.uint32)
+
+    ct = HostTable(bk, 16, kind="chaining")
+    for unique in (False, True):
+        want = host_chaining_join(bk, pk, 16, unique=unique)
+        got = ct.probe(pk, unique=unique)
+        assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+    nt = HostTable(bk, 16, kind="nested")
+    want = host_nested_join(bk, pk, 16)
+    got = nt.probe(pk)
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
+    got2 = nt.probe(pk, unnest=False)
+    assert got2[2:] == want[2:] and got2[0].size == 0
+    ct.close()
+    nt.close()
+
+
+def test_host_two_join_strands_match_device():
+    """Native exp-4 Ndu/Chj strands == device strands (counters + multiset)."""
+    import jax
+    from hashjoin3d_tpu.hostengine import HostTable, host_two_join_probe
+    from hashjoin3d_tpu.models.exp4 import Experiment4
+    from hashjoin3d_tpu.utils import exp4_data
+    from hashjoin3d_tpu.models.exp4 import _ndu_probe_strand, _chj_probe_strand
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+
+    e = Experiment4(8, 2, 3, 3, 2, plans=("none",))
+    sa, ta = exp4_data(8, 2, 3, 3, 2)
+    rk = np.arange(e.card_r, dtype=np.uint32)
+    ndv = e.num_fk_common + e.num_fk_exclusive
+    out1 = max(e.calc_join_card2() // e.mult_alpha, 1)
+    out2 = max(e.calc_join_card2(), 1)
+
+    # Ndu
+    hs = HostTable(sa, ndv, kind="nested")
+    htb = HostTable(ta, ndv, kind="nested")
+    host = host_two_join_probe(hs, htb, rk, out2)
+    ts = build_nested_host(sa, ndv, n_keys=ndv)
+    tt = build_nested_host(ta, ndv, n_keys=ndv)
+    dev = jax.device_get(_ndu_probe_strand(ts, tt, rk, out1, out2))
+    for k in ("c_probe_RS", "c_probe_RS_cmp", "c_probe_RT", "c_probe_RT_cmp",
+              "c_unnest_1", "c_unnest_2", "c_top"):
+        assert int(host[k]) == int(dev[k]), k
+    want = sorted((int(r), int(s), int(t)) for r, s, t in
+                  zip(dev["r_row"], dev["s_row"], dev["t_row"]) if r >= 0)
+    got = sorted(zip(host["r_row"].tolist(), host["s_row"].tolist(),
+                     host["t_row"].tolist()))
+    assert got == want
+
+    # Chj
+    hs2 = HostTable(sa, ndv, kind="chaining")
+    ht2 = HostTable(ta, ndv, kind="chaining")
+    host2 = host_two_join_probe(hs2, ht2, rk, out2)
+    cs = build_chaining_host(sa, ndv, n_keys=ndv)
+    ctt = build_chaining_host(ta, ndv, n_keys=ndv)
+    dev2 = jax.device_get(_chj_probe_strand(
+        cs, ctt, rk, max(e.calc_join_card1(), 1), out2))
+    for k in ("c_probe_RS", "c_probe_RS_cmp", "c_probe_RT", "c_probe_RT_cmp",
+              "c_top"):
+        assert int(host2[k]) == int(dev2[k]), k
+    want2 = sorted((int(r), int(s), int(t)) for r, s, t in
+                   zip(dev2["r_row"], dev2["s_row"], dev2["t_row"]) if r >= 0)
+    got2 = sorted(zip(host2["r_row"].tolist(), host2["s_row"].tolist(),
+                      host2["t_row"].tolist()))
+    assert got2 == want2

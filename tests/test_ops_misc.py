@@ -226,18 +226,40 @@ def test_windowed_lookup_matches_gather():
     table = rng.integers(1, 2**32, T, dtype=np.uint32)
     keys = np.sort(rng.integers(0, T, 16384).astype(np.int32))
     assert bool(windowed_coverage_ok(jnp.asarray(keys), T, W=1024))
-    out = windowed_lookup(jnp.asarray(table), jnp.asarray(keys), W=1024,
-                          interpret=True)
+    out = windowed_lookup(jnp.asarray(table), jnp.asarray(keys), C=128,
+                          W=1024, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), table[keys])
 
     # out-of-range keys (sorted to the tail) come back 0 = miss marker
     keys2 = np.concatenate([keys[:-256], np.full(256, T, np.int32)])
-    out2 = windowed_lookup(jnp.asarray(table), jnp.asarray(keys2), W=1024,
-                           interpret=True)
+    out2 = windowed_lookup(jnp.asarray(table), jnp.asarray(keys2), C=128,
+                           W=1024, interpret=True)
     assert (np.asarray(out2)[-256:] == 0).all()
     np.testing.assert_array_equal(np.asarray(out2)[:-256],
                                   table[keys2[:-256]])
 
     # sparse keys the window cannot cover: the guard must say no
-    sparse = np.sort(np.array([0, T - 1] * 1024, np.int32))
-    assert not bool(windowed_coverage_ok(jnp.asarray(sparse), T, W=1024))
+    # (table spanning 4 windows, one CHUNK mixing both ends)
+    T4 = 8192
+    sparse = np.sort(np.array([0, T4 - 1] * 100, np.int32))
+    assert not bool(windowed_coverage_ok(jnp.asarray(sparse), T4, W=1024))
+
+
+def test_windowed_lookup_miss_holes():
+    """Interspersed -1 miss markers (key_direct images) yield 0 without
+    disturbing neighbors' windows."""
+    import jax.numpy as jnp
+    from hashjoin3d_tpu.ops.windowed import (
+        windowed_lookup, windowed_coverage_ok)
+
+    rng = np.random.default_rng(9)
+    T = 4096
+    table = rng.integers(1, 2**32, T, dtype=np.uint32)
+    keys = np.sort(rng.integers(0, T, 16384).astype(np.int32))
+    holes = rng.random(16384) < 0.3
+    keys[holes] = -1
+    assert bool(windowed_coverage_ok(jnp.asarray(keys), T, C=128, W=1024))
+    out = np.asarray(windowed_lookup(jnp.asarray(table), jnp.asarray(keys),
+                                     C=128, W=1024, interpret=True))
+    want = np.where(holes, 0, table[np.maximum(keys, 0)])
+    np.testing.assert_array_equal(out, want)
