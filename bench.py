@@ -26,6 +26,7 @@ def main():
     from hashjoin3d_tpu.models.exp1 import _chaining_probe_strand
     from hashjoin3d_tpu.ops.chaining import build_chaining_host
     from hashjoin3d_tpu.ops.chaining import can_use_dense_direct
+    from hashjoin3d_tpu.ops.strands_windowed import direct_probe_strand_sorted
     from hashjoin3d_tpu.utils import exp1_data
     from hashjoin3d_tpu.utils.measure import fence, repeat_mintime
 
@@ -39,13 +40,22 @@ def main():
     table = build_chaining_host(rk, 1 << LOG2_R, dense_direct=dd)
     fence(table)
 
+    # the sorted windowed strand (Pallas windowed lookup) when the adaptive
+    # dense-direct layout applies, the baseline strand otherwise
+    if dd:
+        def strand():
+            return direct_probe_strand_sorted(table, sa, unique=True)
+    else:
+        def strand():
+            return _chaining_probe_strand(table, sa, card_s, True)
+
     # warm-up compile outside the timed region
-    out = _chaining_probe_strand(table, sa, card_s, True)
+    out = strand()
     fence(out)
     assert int(out["c_htProbe"]) == card_s, int(out["c_htProbe"])
 
     def once():
-        fence(_chaining_probe_strand(table, sa, card_s, True))
+        fence(strand())
 
     total_s, reps = repeat_mintime(0.3, once, min_repeat=8)
     per_rep = total_s / reps

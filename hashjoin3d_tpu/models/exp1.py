@@ -430,11 +430,26 @@ class Experiment1:
         def host_route(n_build, n_probe, n_out):
             return self._backend_for_plan(n_build, n_probe, n_out) == "host"
 
+        # Windowed (sorted-probe) strands replace every large serialized
+        # gather with the Pallas windowed lookup (ops/strands_windowed.py);
+        # they self-guard with a coverage check + gather fallback, so they
+        # are the default device path wherever their table layout exists.
+        from ..ops.strands_windowed import (
+            direct_probe_strand_sorted, keydirect_chaining_strand_sorted,
+            keydirect_nested_strand_sorted)
+
         if "Csr" in self.plans:
             if host_route(self.card_r, self.card_s, self.card_s):
                 self._run_join_plan_host("Csr", self._rk, self._sa, nb_r,
                                          "chaining", "R", "S", False,
                                          unique=True)
+            elif dd_r:
+                self._run_join_plan(
+                    "Csr", self._rk, self._sa, nb_r,
+                    chaining_build(nb_r, self.card_r, dd_r),
+                    lambda t, p: direct_probe_strand_sorted(t, p,
+                                                            unique=True),
+                    "chaining", "R", "S", has_unnest=False)
             else:
                 self._run_join_plan(
                     "Csr", self._rk, self._sa, nb_r,
@@ -446,6 +461,16 @@ class Experiment1:
             if host_route(self.card_r, self.card_s, self.card_s):
                 self._run_join_plan_host("CsrUU", self._rk, self._sa, nb_r,
                                          "chaining", "R", "S", False)
+            elif dd_r:
+                def _build_uu(keys):
+                    return build_chaining_host(
+                        keys, nb_r, dense_direct=True, n_keys=self.card_r,
+                        full_chain_index=True)
+                self._run_join_plan(
+                    "CsrUU", self._rk, self._sa, nb_r, _build_uu,
+                    lambda t, p: direct_probe_strand_sorted(t, p,
+                                                            unique=False),
+                    "chaining", "R", "S", has_unnest=False)
             else:
                 self._run_join_plan(
                     "CsrUU", self._rk, self._sa, nb_r,
@@ -462,13 +487,20 @@ class Experiment1:
                     "Crs", self._sa, self._rk, nb_s,
                     chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max,
                                    ee=False),
-                    lambda t, p: _chaining_probe_strand(t, p, self.card_s,
-                                                        False),
+                    lambda t, p: keydirect_chaining_strand_sorted(
+                        t, p, self.card_s),
                     "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:
             if host_route(self.card_r, self.card_s, self.card_s):
                 self._run_join_plan_host("Nsr", self._rk, self._sa, nb_r,
                                          "nested", "R", "S", True)
+            elif dd_r:
+                self._run_join_plan(
+                    "Nsr", self._rk, self._sa, nb_r,
+                    nested_build(nb_r, self.card_r, dd_r),
+                    lambda t, p: direct_probe_strand_sorted(t, p,
+                                                            nested=True),
+                    "nested", "R", "S", has_unnest=True)
             else:
                 self._run_join_plan(
                     "Nsr", self._rk, self._sa, nb_r,
@@ -483,7 +515,8 @@ class Experiment1:
                 self._run_join_plan(
                     "Nrs", self._sa, self._rk, nb_s,
                     nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
-                    lambda t, p: _nested_probe_strand(t, p, self.card_s),
+                    lambda t, p: keydirect_nested_strand_sorted(
+                        t, p, self.card_s, do_unnest=True),
                     "nested", "S", "R", has_unnest=True)
         if "NrsNU" in self.plans:
             if host_route(self.card_s, self.card_r, 0):
@@ -494,6 +527,7 @@ class Experiment1:
                 self._run_join_plan(
                     "NrsNU", self._sa, self._rk, nb_s,
                     nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
-                    lambda t, p: _nested_probe_strand_nounnest(t, p),
+                    lambda t, p: keydirect_nested_strand_sorted(
+                        t, p, 1, do_unnest=False),
                     "nested", "S", "R", has_unnest=False)
         self.timers.stop("run")

@@ -359,15 +359,28 @@ class Experiment4:
                                          key_domain=key_dom)
             return build_chaining_host(keys, nb, n_keys=num_dv_fk,
                                        key_domain=key_dom)
+        # Windowed (sorted-probe) strands: R.k is an iota by construction
+        # (main_experiment4.cc:522-525), so the whole probe pipeline rides
+        # the Pallas windowed lookup with no probe sort at all
+        # (ops/strands_windowed.py; coverage self-guarded).
+        from ..ops.strands_windowed import (
+            chj_strand_sorted, ndu_strand_sorted, nnu_strand_sorted)
+
         if name == "Nnu":
-            probe_fn = _nnu_probe_strand
+            probe_fn = nnu_strand_sorted
         elif nested:
             out1 = self.calc_join_card2() // max(self.mult_alpha, 1)
             out1 = max(out1, 1)
-            probe_fn = partial(_ndu_probe_strand,
-                               out1=out1, out2=max(self.calc_join_card2(), 1))
+
+            def probe_fn(ts, tt, rk, _o1=out1,
+                         _o2=max(self.calc_join_card2(), 1)):
+                out = ndu_strand_sorted(ts, tt, rk, _o1, _o2)
+                out = dict(out)
+                out.pop("valid")
+                out["c_top"] = out["c_unnest_2"]
+                return out
         else:
-            probe_fn = partial(_chj_probe_strand,
+            probe_fn = partial(chj_strand_sorted,
                                out1=max(self.calc_join_card1(), 1),
                                out2=max(self.calc_join_card2(), 1))
 

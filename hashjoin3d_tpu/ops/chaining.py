@@ -78,6 +78,10 @@ class ChainingTable:
     # ONE gather (vs a merge sort pass or log2(n_keys) search gathers).
     # Non-unique keys are fine (it maps to the GROUP).  -1 = key absent.
     key_direct: jax.Array | None = None  # i32[domain]
+    # Per-key full-chain length (``bucket_len[bucket_of(key)]``), built on
+    # demand for plans that count full chain walks on every probe (CsrUU):
+    # turns the probe's comparison counting into a windowed lookup.
+    chain_by_key: jax.Array | None = None  # i32[n] (dense-direct tables)
 
     @property
     def size(self):
@@ -101,7 +105,8 @@ class ChainingTable:
         chain_arrays = [self.pos_by_row, self.group_min_pos,
                         self.group_chain_first, self.keys, g.ukey,
                         g.group_start, g.group_len, g.group_rows, g.first_row,
-                        g.gid_by_row, self.direct, self.key_direct]
+                        g.gid_by_row, self.direct, self.key_direct,
+                        self.chain_by_key]
         chains_bytes = sum(a.nbytes for a in chain_arrays if a is not None)
         return dict(total=dir_bytes + chains_bytes, dir=dir_bytes,
                     chains=chains_bytes)
@@ -225,20 +230,24 @@ def build_chaining_host(keys: jax.Array, num_buckets: int,
                         dense_direct: bool = False,
                         n_keys: int | None = None,
                         key_domain: int | None = None,
-                        early_exit_index: bool = True) -> ChainingTable:
+                        early_exit_index: bool = True,
+                        full_chain_index: bool = False) -> ChainingTable:
     """Two-phase host-orchestrated build with a compacted directory.
 
     See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure
     (including the ``n_keys`` / ``key_domain`` hints); additionally derives
     the early-exit unique index (group_min_pos / group_chain_first) from
     compact-sized gathers instead of n-sized scatters.
+    ``full_chain_index`` materializes ``chain_by_key`` on dense-direct
+    builds (for plans whose probes count full chain walks, e.g. CsrUU).
     """
     from .layout import group_capacity, sort_with_rows
 
     if dense_direct and n_keys == keys.shape[0]:
         # permutation keys: the probe reads ONLY direct/bucket_len, so the
         # distinct-key directory need not be materialized at all
-        return _build_chaining_dense(keys, num_buckets)
+        return _build_chaining_dense(keys, num_buckets,
+                                     full_chain_index=full_chain_index)
     if n_keys is not None:
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
@@ -251,8 +260,8 @@ def build_chaining_host(keys: jax.Array, num_buckets: int,
                                   dense_direct, key_domain, early_exit_index)
 
 
-@partial(jax.jit, static_argnames=("num_buckets",))
-def _build_chaining_dense(keys, num_buckets):
+@partial(jax.jit, static_argnames=("num_buckets", "full_chain_index"))
+def _build_chaining_dense(keys, num_buckets, full_chain_index=False):
     """Slim dense-direct build: no distinct-key directory.
 
     Valid only for permutation keys (``can_use_dense_direct``): every probe
@@ -282,6 +291,11 @@ def _build_chaining_dense(keys, num_buckets):
         row.astype(U32) | ((pos_by_row + 1).astype(U32)
                            << jnp.uint32(direct_shift)))
 
+    chain_by_key = None
+    if full_chain_index:
+        bk2 = bucket_of(hash_key(row.astype(U32)), num_buckets)
+        chain_by_key = bucket_len[bk2]
+
     empty = jnp.zeros(0, I32)
     groups = GroupIndex(ukey=jnp.zeros(0, U32), group_start=empty,
                         group_len=empty, group_rows=empty, first_row=empty,
@@ -290,7 +304,7 @@ def _build_chaining_dense(keys, num_buckets):
         groups=groups, bucket_start=bucket_start, bucket_len=bucket_len,
         pos_by_row=pos_by_row, group_min_pos=empty, group_chain_first=empty,
         keys=keys, num_buckets=num_buckets, direct=direct,
-        direct_shift=direct_shift)
+        direct_shift=direct_shift, chain_by_key=chain_by_key)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",

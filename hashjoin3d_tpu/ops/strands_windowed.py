@@ -1,0 +1,388 @@
+"""Windowed (sorted-probe) experiment strands: the gather-free fast path.
+
+PERF.md's roofline shows XLA's random gather is a serialized ~8.6 ns/element
+loop while the Pallas windowed lookup (``windowed.py``) resolves (nearly)
+sorted streams at ~0.3 ns/element (29x).  These strands restructure the
+experiment probe pipelines so that EVERY large random access becomes a
+windowed lookup:
+
+* probes are sorted by key once (or arrive sorted: exp-4's ``R.k`` is an
+  iota, ``main_experiment4.cc:522-525``) -- the sorted keys stream through
+  the table's ``direct`` / ``key_direct`` arrays in windows;
+* every downstream per-match array access inherits (near-)sortedness:
+  group ids ``g`` are assigned in sorted-key order, so ``group_len[g]``,
+  ``group_start[g]``, ``main_pos[g]`` are nondecreasing streams with -1
+  miss holes; segment-expansion outputs walk ``group_rows`` in CSR order;
+  and the original probe ids come back via ``srow[p]`` keyed by the sorted
+  segment index ``p``;
+* emission order is by sorted key rather than probe order -- result sets
+  are bit-equal as multisets (the engine's standing contract, SURVEY §7.4)
+  and all counters (c_htProbe / c_htProbeCmp / c_unnest / c_top) are
+  bit-equal to the reference, pinned by differential tests.
+
+Every lookup guards itself: ``safe_lookup`` checks window coverage on
+device and falls back to the XLA gather in the same jit (``lax.cond``), so
+adversarial key distributions stay correct, just slower.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hashing import bucket_of, hash_key
+from .layout import I32, U32, expand
+from .windowed import (DEFAULT_C, DEFAULT_W, chunk_bases, windowed_lookup,
+                       windowed_coverage_ok)
+
+
+def _pad_table(arr: jax.Array, W: int = DEFAULT_W) -> jax.Array:
+    """Zero-pad a u32 value array to the windowed kernel's size contract
+    (>= 2W, multiple of W)."""
+    T = arr.shape[0]
+    Tp = max(2 * W, -(-T // W) * W)
+    if Tp != T:
+        arr = jnp.concatenate([arr, jnp.zeros(Tp - T, arr.dtype)])
+    return arr
+
+
+def safe_lookup(values: jax.Array, keys: jax.Array,
+                W: int = DEFAULT_W) -> jax.Array:
+    """``values[keys]`` with miss-as-zero semantics, windowed when coverage
+    holds, XLA gather otherwise (one ``lax.cond``; the coverage check is a
+    cheap reduction riding the key stream).
+
+    ``values``: u32 (or i32, viewed) array; entries must be < 2^31 when
+    i32-viewed data is decoded downstream.  ``keys``: i32, any key < 0 or
+    >= len(values) yields 0.
+    """
+    values = values.view(U32) if values.dtype != U32 else values
+    T = values.shape[0]
+    keys = keys.astype(I32)
+    n = keys.shape[0]
+    pad = (-n) % DEFAULT_C
+    kp = (jnp.concatenate([keys, jnp.full(pad, -1, I32)]) if pad else keys)
+    vp = _pad_table(values, W)
+
+    def windowed(_):
+        return windowed_lookup(vp, kp, W=W)
+
+    def gather(_):
+        in_range = (kp >= 0) & (kp < T)
+        safe = jnp.clip(kp, 0, T - 1)
+        return jnp.where(in_range, values[safe], jnp.uint32(0))
+
+    ok = windowed_coverage_ok(kp, vp.shape[0], W=W)
+    out = lax.cond(ok, windowed, gather, None)
+    return out[:n] if pad else out
+
+
+def _sort_probes(pk: jax.Array):
+    """(sorted keys u32, original rows i32) -- the one sort of the strand."""
+    P = pk.shape[0]
+    return lax.sort((pk.astype(U32), jnp.arange(P, dtype=I32)), num_keys=1)
+
+
+def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask):
+    """Comparison count contributed by missing probes: each walks its full
+    bucket chain (``algebra.hh:640-658`` on a miss).  Only pays the gather
+    when misses exist."""
+    n_miss = jnp.sum(miss_mask.astype(I32))
+
+    def walk(_):
+        b = bucket_of(hash_key(skey_u32), num_buckets)
+        return jnp.sum(jnp.where(miss_mask, table_bucket_len[b], 0)
+                       .astype(jnp.int64))
+
+    return lax.cond(n_miss > 0, walk, lambda _: jnp.int64(0), None)
+
+
+@partial(jax.jit, static_argnames=("unique", "nested"))
+def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
+    """Windowed Csr / CsrUU / Nsr probe strand (dense-direct tables).
+
+    Equivalent to ``models.exp1._chaining_probe_strand`` /
+    ``_nested_probe_strand`` over a dense-direct table: one windowed lookup
+    of the packed ``(row | pos+1 << shift)`` word per sorted probe replaces
+    the serialized 144 ms gather.  Emission is in sorted-key order
+    (multiset-equal); counters are bit-equal (``algebra.hh:625-659``).
+
+    ``nested=True`` = the Nsr plan: same packed-word probe, plus the
+    positional unnest of singleton groups (c_unnest = matches).
+    """
+    direct = table.direct
+    n = direct.shape[0]
+    skey, srow = _sort_probes(pk)
+    sk = skey.astype(I32)  # keys >= 2^31 go negative = out-of-range = miss
+
+    d = safe_lookup(direct, sk)
+    hit = d != 0  # packed words carry a 1-based chain position: never 0
+    row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
+    pos1 = (d >> jnp.uint32(table.direct_shift)).astype(I32)
+
+    blen = (table.bucket_main_len if nested else table.bucket_len)
+    miss_cmps = _miss_chain_cmps(blen, table.num_buckets, skey, ~hit)
+
+    if unique or nested:
+        cmps = jnp.sum(jnp.where(hit, pos1, 0).astype(jnp.int64)) + miss_cmps
+    else:
+        # full-chain walk (no early exit): per-key chain length, windowed
+        cbk = safe_lookup(table.chain_by_key, sk).astype(I32)
+        cmps = jnp.sum(jnp.where(hit, cbk, 0).astype(jnp.int64)) + miss_cmps
+
+    m = jnp.sum(hit.astype(jnp.int64))
+    out = dict(
+        probe_row=jnp.where(hit, srow, -1),
+        build_row=jnp.where(hit, row, -1),
+        total=m,
+        c_htProbe=m,
+        c_htProbeCmp=cmps,
+    )
+    if nested:
+        out["c_unnest"] = m
+    return out
+
+
+def _keydirect_probe(table, sk, skey_u32):
+    """Shared windowed key_direct probe: sorted keys -> (g, hit, glen,
+    pos1, miss_cmps) with -1/0 miss markers throughout."""
+    g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+    hit = g >= 0
+    glen = safe_lookup(table.groups.group_len, g).astype(I32)
+    pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32), g).astype(I32)
+    miss_cmps = _miss_chain_cmps(table.bucket_main_len, table.num_buckets,
+                                 skey_u32, ~hit)
+    return g, hit, glen, pos1, miss_cmps
+
+
+@partial(jax.jit, static_argnames=("out_size", "do_unnest", "probes_iota"))
+def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
+                                   probes_iota=False):
+    """Windowed Nrs / NrsNU probe strand (key_direct nested tables).
+
+    The sorted group-id stream makes every per-group array access windowed;
+    the unnest expansion walks ``group_rows`` in CSR order (windowed) and
+    recovers original probe ids through ``srow[p]`` (windowed -- the
+    segment index p is nondecreasing).  ``probes_iota`` skips the probe
+    sort when the key column is already the identity (exp-4's R.k).
+    """
+    P = pk.shape[0]
+    if probes_iota:
+        skey = pk.astype(U32)
+        srow = None
+    else:
+        skey, srow = _sort_probes(pk)
+    sk = skey.astype(I32)
+
+    g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey)
+    m = jnp.sum(hit.astype(jnp.int64))
+    cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
+
+    if not do_unnest:
+        prow = (jnp.arange(P, dtype=I32) if probes_iota else srow)
+        return dict(nested_g=jnp.where(hit, g, -1),
+                    nested_hit=hit, nested_probe_row=prow,
+                    c_htProbe=m, c_htProbeCmp=cmps, c_top=m)
+
+    gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
+    p, within, valid, total, = expand(glen, out_size)[:4]
+    gst = safe_lookup(gstart_by_p, p).astype(I32)
+    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
+    if probes_iota:
+        probe_row = p
+    else:
+        probe_row = safe_lookup(srow, p).astype(I32)
+    return dict(
+        probe_row=jnp.where(valid, probe_row, -1),
+        build_row=jnp.where(valid, build_row, -1),
+        total=total.astype(jnp.int64),
+        c_htProbe=m, c_htProbeCmp=cmps,
+        c_unnest=total.astype(jnp.int64),
+    )
+
+
+@partial(jax.jit, static_argnames=("out1", "out2"))
+def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
+    """Windowed exp-4 Ndu probe strand (``main_experiment4.cc:832-941``):
+    scan R -> NestProbe(S) -> NestProbe(T) -> Unnest(T) -> Unnest(S).
+
+    R.k is an iota by construction, so no probe sort is needed; the whole
+    two-probe / two-expansion chain runs on windowed lookups.  Counters and
+    result multisets equal ``ops.nested.deferred_two_join_strand``.
+    """
+    sk = keys_iota.astype(I32)
+    skey = keys_iota.astype(U32)
+
+    g_s, hit_s, glen_s, pos1_s, miss_s = _keydirect_probe(tbl_s, sk, skey)
+    c_rs = jnp.sum(hit_s.astype(jnp.int64))
+    c_rs_cmp = jnp.sum(pos1_s.astype(jnp.int64)) + miss_s
+
+    # T probe runs only under the S-hit mask (algebra.hh:451-458)
+    g_t = safe_lookup((tbl_t.key_direct + 1).view(U32), sk).astype(I32) - 1
+    g_t = jnp.where(hit_s, g_t, -1)
+    both = g_t >= 0
+    glen_t = safe_lookup(tbl_t.groups.group_len, g_t).astype(I32)
+    pos1_t = safe_lookup((tbl_t.main_pos_by_group + 1).view(U32),
+                         g_t).astype(I32)
+    miss_t = _miss_chain_cmps(tbl_t.bucket_main_len, tbl_t.num_buckets,
+                              skey, hit_s & ~both)
+    c_rt = jnp.sum(both.astype(jnp.int64))
+    c_rt_cmp = jnp.sum(pos1_t.astype(jnp.int64)) + miss_t
+
+    # Unnest #1 (T): one row per T duplicate of rows surviving both probes
+    t_counts = jnp.where(both, glen_t, 0)
+    gstart_t_by_p = safe_lookup(tbl_t.groups.group_start, g_t).astype(I32)
+    p1, w1, v1, n_un1 = expand(t_counts, out1)[:4]
+    gst_t = safe_lookup(gstart_t_by_p, p1).astype(I32)
+    t_row = safe_lookup(tbl_t.groups.group_rows, gst_t + w1).astype(I32)
+
+    # Unnest #2 (S): expand each (r, t_row) by the S group
+    glen_s_m = jnp.where(both, glen_s, 0)
+    s_counts = jnp.where(v1, safe_lookup(glen_s_m, p1).astype(I32), 0)
+    gstart_s_by_p = safe_lookup(tbl_s.groups.group_start, g_s).astype(I32)
+    gst_s_by_p1 = safe_lookup(gstart_s_by_p, p1).astype(I32)
+    p2, w2, v2, n_un2 = expand(s_counts, out2)[:4]
+    gst_s = safe_lookup(gst_s_by_p1, p2).astype(I32)
+    s_row = safe_lookup(tbl_s.groups.group_rows, gst_s + w2).astype(I32)
+    t_prop = safe_lookup(t_row, p2).astype(I32)
+    r_prop = safe_lookup(p1, p2).astype(I32)  # p1 IS the probe row (iota)
+
+    return dict(
+        r_row=jnp.where(v2, r_prop, -1),
+        s_row=jnp.where(v2, s_row, -1),
+        t_row=jnp.where(v2, t_prop, -1),
+        valid=v2,
+        c_probe_RS=c_rs, c_probe_RS_cmp=c_rs_cmp,
+        c_probe_RT=c_rt, c_probe_RT_cmp=c_rt_cmp,
+        c_unnest_1=n_un1.astype(jnp.int64),
+        c_unnest_2=n_un2.astype(jnp.int64),
+    )
+
+
+@partial(jax.jit, static_argnames=("out1", "out2"))
+def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
+    """Windowed exp-4 Chj probe strand (``main_experiment4.cc:943-1043``):
+    Probe(S) materializes every RS pair, each pair probes T with its R key
+    (full chain walks, no early exit).  Counters / multisets equal
+    ``models.exp4._chj_probe_strand``.
+    """
+    sk = keys_iota.astype(I32)
+    skey = keys_iota.astype(U32)
+
+    # S probe: all matches per probe (chaining, not unique)
+    g_s = safe_lookup((tbl_s.key_direct + 1).view(U32), sk).astype(I32) - 1
+    hit_s = g_s >= 0
+    glen_s = safe_lookup(tbl_s.groups.group_len, g_s).astype(I32)
+    c_rs = jnp.sum(glen_s.astype(jnp.int64))
+    # full-chain comparisons: bucket chain length per probe key.  The
+    # bucket stream is hash-ordered (not sorted): sort it once and ride the
+    # windowed lookup -- still far cheaper than the serialized gather.
+    b_s = bucket_of(hash_key(skey), tbl_s.num_buckets)
+    bs_sorted = lax.sort((b_s.astype(U32),), num_keys=1)[0]
+    c_rs_cmp = jnp.sum(safe_lookup(
+        tbl_s.bucket_len, bs_sorted.astype(I32)).astype(jnp.int64))
+
+    # materialize RS pairs (expansion #1)
+    gstart_s_by_p = safe_lookup(tbl_s.groups.group_start, g_s).astype(I32)
+    p1, w1, v1, n_rs = expand(glen_s, out1)[:4]
+    gst_s = safe_lookup(gstart_s_by_p, p1).astype(I32)
+    s_row = safe_lookup(tbl_s.groups.group_rows, gst_s + w1).astype(I32)
+
+    # each PAIR probes T with the pair's R key == p1 (keys are the iota)
+    g_t_by_p = safe_lookup((tbl_t.key_direct + 1).view(U32), sk).astype(I32) - 1
+    glen_t_by_p = safe_lookup(tbl_t.groups.group_len, g_t_by_p).astype(I32)
+    t_counts = jnp.where(v1, safe_lookup(glen_t_by_p, p1).astype(I32), 0)
+    c_rt = jnp.sum(t_counts.astype(jnp.int64))
+    cbk_t = safe_lookup(tbl_t.bucket_len,
+                        bucket_of(hash_key(jnp.arange(
+                            tbl_t.key_direct.shape[0], dtype=U32)),
+                            tbl_t.num_buckets).astype(I32))
+    # per-pair full T-chain walk: chain length of the pair's key, windowed
+    # over the sorted pair-key stream p1 (keys are iota => key == p1)
+    cmps_t_by_key = safe_lookup(cbk_t, sk).astype(I32)
+    c_rt_cmp = jnp.sum(jnp.where(
+        v1, safe_lookup(cmps_t_by_key, p1).astype(I32), 0).astype(jnp.int64))
+
+    # expansion #2: one output per T duplicate of each pair
+    gstart_t_by_p = safe_lookup(tbl_t.groups.group_start, g_t_by_p).astype(I32)
+    gst_t_by_p1 = safe_lookup(gstart_t_by_p, p1).astype(I32)
+    p2, w2, v2, n_rst = expand(t_counts, out2)[:4]
+    gst_t = safe_lookup(gst_t_by_p1, p2).astype(I32)
+    t_row = safe_lookup(tbl_t.groups.group_rows, gst_t + w2).astype(I32)
+    s_prop = safe_lookup(s_row, p2).astype(I32)
+    r_prop = safe_lookup(p1, p2).astype(I32)
+
+    return dict(
+        r_row=jnp.where(v2, r_prop, -1),
+        s_row=jnp.where(v2, s_prop, -1),
+        t_row=jnp.where(v2, t_row, -1),
+        c_probe_RS=c_rs, c_probe_RS_cmp=c_rs_cmp,
+        c_probe_RT=c_rt, c_probe_RT_cmp=c_rt_cmp,
+        c_top=n_rst.astype(jnp.int64),
+    )
+
+
+@jax.jit
+def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
+    """Windowed exp-4 Nnu probe strand: two nested probes, no unnesting
+    (mirrors ``models.exp4._nnu_probe_strand``)."""
+    sk = keys_iota.astype(I32)
+    skey = keys_iota.astype(U32)
+    g_s, hit_s, _, pos1_s, miss_s = _keydirect_probe(tbl_s, sk, skey)
+    g_t = safe_lookup((tbl_t.key_direct + 1).view(U32), sk).astype(I32) - 1
+    g_t = jnp.where(hit_s, g_t, -1)
+    both = g_t >= 0
+    pos1_t = safe_lookup((tbl_t.main_pos_by_group + 1).view(U32),
+                         g_t).astype(I32)
+    miss_t = _miss_chain_cmps(tbl_t.bucket_main_len, tbl_t.num_buckets,
+                              skey, hit_s & ~both)
+    return dict(
+        g_s=jnp.where(both, g_s, -1),
+        g_t=jnp.where(both, g_t, -1),
+        c_probe_RS=jnp.sum(hit_s.astype(jnp.int64)),
+        c_probe_RS_cmp=jnp.sum(pos1_s.astype(jnp.int64)) + miss_s,
+        c_probe_RT=jnp.sum(both.astype(jnp.int64)),
+        c_probe_RT_cmp=jnp.sum(pos1_t.astype(jnp.int64)) + miss_t,
+        c_top=jnp.sum(both.astype(jnp.int64)),
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def keydirect_chaining_strand_sorted(table, pk, out_size):
+    """Windowed Crs probe strand (key_direct chaining table, no early exit,
+    ``algebra.hh:625-659`` without the break).
+
+    Every probe walks its full bucket chain (comparisons) and emits its
+    whole key group (matches); the expansion machinery is the nested
+    strand's, with chaining counter semantics.  The bucket stream for the
+    comparison count is hash-ordered, so it gets its own sort + windowed
+    pass (still ~3x cheaper than the serialized gather at 1M probes).
+    """
+    skey, srow = _sort_probes(pk)
+    sk = skey.astype(I32)
+
+    g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+    glen = safe_lookup(table.groups.group_len, g).astype(I32)
+    m = jnp.sum(glen.astype(jnp.int64))
+
+    # full-chain comparisons for every probe: bucket chain lengths, summed
+    # over the sorted bucket-id stream
+    b = bucket_of(hash_key(skey), table.num_buckets)
+    b_sorted = lax.sort((b.astype(U32),), num_keys=1)[0]
+    cmps = jnp.sum(safe_lookup(
+        table.bucket_len, b_sorted.astype(I32)).astype(jnp.int64))
+
+    gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
+    p, within, valid, total = expand(glen, out_size)[:4]
+    gst = safe_lookup(gstart_by_p, p).astype(I32)
+    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
+    probe_row = safe_lookup(srow, p).astype(I32)
+    return dict(
+        probe_row=jnp.where(valid, probe_row, -1),
+        build_row=jnp.where(valid, build_row, -1),
+        total=total.astype(jnp.int64),
+        c_htProbe=m, c_htProbeCmp=cmps,
+    )

@@ -112,7 +112,7 @@ def _windowed_kernel(bases_ref, keys_ref, table_ref, out_ref, window, sem):
 @partial(jax.jit, static_argnames=("C", "W", "interpret"))
 def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
                     C: int = DEFAULT_C, W: int = DEFAULT_W,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool | None = None) -> jax.Array:
     """``table[keys_sorted]`` for nondecreasing keys, without a gather.
 
     ``table``: u32[T] with T >= 2W and T a multiple of W; ``keys_sorted``:
@@ -129,6 +129,8 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if interpret is None:  # no Mosaic on CPU: interpret (tests, dryruns)
+        interpret = jax.default_backend() == "cpu"
     n = keys_sorted.shape[0]
     T = table.shape[0]
     assert n % C == 0, f"pad keys to a multiple of {C}"
