@@ -516,7 +516,8 @@ class Experiment1:
                     "Nrs", self._sa, self._rk, nb_s,
                     nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
                     lambda t, p: keydirect_nested_strand_sorted(
-                        t, p, self.card_s, do_unnest=True),
+                        t, p, self.card_s, do_unnest=True,
+                        probes_permutation=dd_r),
                     "nested", "S", "R", has_unnest=True)
         if "NrsNU" in self.plans:
             if host_route(self.card_s, self.card_r, 0):
@@ -528,6 +529,7 @@ class Experiment1:
                     "NrsNU", self._sa, self._rk, nb_s,
                     nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
                     lambda t, p: keydirect_nested_strand_sorted(
-                        t, p, 1, do_unnest=False),
+                        t, p, 1, do_unnest=False,
+                        probes_permutation=dd_r),
                     "nested", "S", "R", has_unnest=False)
         self.timers.stop("run")

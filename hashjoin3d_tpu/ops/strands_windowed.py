@@ -88,13 +88,16 @@ def _sort_probes(pk: jax.Array):
 
 def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask):
     """Comparison count contributed by missing probes: each walks its full
-    bucket chain (``algebra.hh:640-658`` on a miss).  Only pays the gather
-    when misses exist."""
+    bucket chain (``algebra.hh:640-658`` on a miss).  Runs only when misses
+    exist; the bucket-id stream is hash-ordered, so it gets one sort and a
+    windowed lookup (cheaper than the serialized gather from ~512K rows)."""
     n_miss = jnp.sum(miss_mask.astype(I32))
 
     def walk(_):
         b = bucket_of(hash_key(skey_u32), num_buckets)
-        return jnp.sum(jnp.where(miss_mask, table_bucket_len[b], 0)
+        b = jnp.where(miss_mask, b, -1)        # live misses only
+        b_sorted = lax.sort((b.astype(I32),), num_keys=1)[0]
+        return jnp.sum(safe_lookup(table_bucket_len, b_sorted)
                        .astype(jnp.int64))
 
     return lax.cond(n_miss > 0, walk, lambda _: jnp.int64(0), None)
@@ -158,26 +161,52 @@ def _keydirect_probe(table, sk, skey_u32):
     return g, hit, glen, pos1, miss_cmps
 
 
-@partial(jax.jit, static_argnames=("out_size", "do_unnest", "probes_iota"))
+@partial(jax.jit, static_argnames=("out_size", "do_unnest", "probes_iota",
+                                   "probes_permutation"))
 def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
-                                   probes_iota=False):
+                                   probes_iota=False,
+                                   probes_permutation=False):
     """Windowed Nrs / NrsNU probe strand (key_direct nested tables).
 
     The sorted group-id stream makes every per-group array access windowed;
     the unnest expansion walks ``group_rows`` in CSR order (windowed) and
     recovers original probe ids through ``srow[p]`` (windowed -- the
     segment index p is nondecreasing).  ``probes_iota`` skips the probe
-    sort when the key column is already the identity (exp-4's R.k).
+    sort when the key column is already the identity (exp-4's R.k);
+    ``probes_permutation`` replaces it with one inverse-permutation scatter
+    when the keys are a permutation of [0, P) (exp-1's R.k,
+    main_experiment1.cc:425-428) -- the sorted keys are then the identity
+    and the key_direct image needs no lookup at all.
     """
     P = pk.shape[0]
     if probes_iota:
         skey = pk.astype(U32)
         srow = None
+    elif probes_permutation:
+        # sorted(permutation of [0,P)) == iota; srow == inverse permutation
+        skey = jnp.arange(P, dtype=U32)
+        srow = jnp.zeros(P, I32).at[pk.astype(I32)].set(
+            jnp.arange(P, dtype=I32), mode="drop")
     else:
         skey, srow = _sort_probes(pk)
     sk = skey.astype(I32)
 
-    g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey)
+    if probes_iota or probes_permutation:
+        # keys are exactly [0, P): the key_direct image IS the g stream
+        kd = table.key_direct
+        dom = kd.shape[0]
+        if P <= dom:
+            g = kd[:P]
+        else:
+            g = jnp.concatenate([kd, jnp.full(P - dom, -1, I32)])
+        hit = g >= 0
+        glen = safe_lookup(table.groups.group_len, g).astype(I32)
+        pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32),
+                           g).astype(I32)
+        miss_cmps = _miss_chain_cmps(table.bucket_main_len,
+                                     table.num_buckets, skey, ~hit)
+    else:
+        g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey)
     m = jnp.sum(hit.astype(jnp.int64))
     cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
 

@@ -10,6 +10,7 @@ from .mesh import make_mesh, shard_axis
 from .shuffle import shard_of_key, partition_exchange
 from .dist_join import dist_nested_join, dist_chaining_join
 from .hier import dist_nested_join_2d, make_mesh_2d
+from .dist_join import dist_nested_join_chunked
 from .ring import dist_ring_nested_join
 from .skew import (detect_skew, dist_broadcast_join, dist_hybrid_nested_join,
                    suggest_capacity)
@@ -21,6 +22,7 @@ __all__ = [
     "shard_of_key", "partition_exchange",
     "dist_nested_join", "dist_chaining_join",
     "dist_nested_join_2d", "make_mesh_2d",
+    "dist_nested_join_chunked",
     "dist_ring_nested_join",
     "detect_skew", "dist_broadcast_join", "dist_hybrid_nested_join",
     "suggest_capacity",

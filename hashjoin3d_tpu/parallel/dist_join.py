@@ -139,3 +139,102 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
     )
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
                              out_specs=specs_out))
+
+
+def dist_nested_join_chunked(mesh: Mesh, num_buckets_per_shard: int,
+                             build_capacity: int, probe_capacity: int,
+                             out_capacity: int, n_chunks: int,
+                             step_out_capacity: int | None = None,
+                             axis: str = SHARD_AXIS, prefetch: bool = True):
+    """Chunked flat join: the exchange of probe chunk i+1 overlaps the probe
+    of chunk i.
+
+    Same results contract as :func:`dist_nested_join` (the one-shot
+    exchange), but the local probe column is split into ``n_chunks`` chunks
+    that are exchanged and probed in a software pipeline: with
+    ``prefetch=True`` chunk i+1's ``partition_exchange`` (sort + pack +
+    ``all_to_all``) is issued before chunk i's probe compute, so the
+    collective has no dependence on the probe in issue order and XLA's
+    latency-hiding scheduler can run them concurrently
+    (tools/overlap_bench.py measures both orders; PERF.md
+    "Exchange/compute overlap").  ``probe_capacity`` bounds received rows
+    per (src, dst, chunk); ``step_out_capacity`` bounds one chunk's
+    unnested output (default ``out_capacity // n_chunks``).
+    """
+    ns = mesh.shape[axis]
+    step_cap = (out_capacity // n_chunks if step_out_capacity is None
+                else step_out_capacity)
+
+    def step(build_keys, probe_keys):
+        nb_local = build_keys.shape[0]
+        np_local = probe_keys.shape[0]
+        assert np_local % n_chunks == 0, "probe length % n_chunks != 0"
+        cn = np_local // n_chunks
+
+        bkeys, bpay, bvalid, bovf = partition_exchange(
+            axis, build_keys, {"row": _global_rows(nb_local, axis)},
+            ns, build_capacity)
+        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid)
+
+        chunks = probe_keys.reshape(n_chunks, cn)
+        rows = _global_rows(np_local, axis).reshape(n_chunks, cn)
+
+        def xchg(i):
+            return partition_exchange(axis, chunks[i], {"row": rows[i]},
+                                      ns, probe_capacity)
+
+        out_p = jnp.full(out_capacity, -1, I32)
+        out_b = jnp.full(out_capacity, -1, I32)
+        offset = jnp.int64(0)
+        dropped = jnp.int64(0)
+        unnested = jnp.int64(0)
+        matches = jnp.int64(0)
+        cmps = jnp.int64(0)
+        povf = jnp.int64(0)
+
+        state = xchg(0)
+        for i in range(n_chunks):
+            if prefetch and i + 1 < n_chunks:
+                nxt = xchg(i + 1)  # issued before this chunk's probe
+            pkeys, ppay, pvalid, povf_i = state
+            res = probe_nested(table, pkeys, mask=pvalid)
+            prow_l, brow_l, ovalid, total = unnest(table, res, step_cap)
+            prow_g = ppay["row"][jnp.maximum(prow_l, 0)]
+            brow_g = bpay["row"][jnp.maximum(brow_l, 0)]
+
+            materialized = jnp.minimum(total, step_cap)
+            pos = jnp.cumsum(ovalid.astype(I32)) - 1
+            idx = jnp.where(ovalid, offset.astype(I32) + pos, out_capacity)
+            out_p = out_p.at[idx].set(jnp.where(ovalid, prow_g, -1),
+                                      mode="drop")
+            out_b = out_b.at[idx].set(jnp.where(ovalid, brow_g, -1),
+                                      mode="drop")
+            offset = offset + materialized
+            dropped = dropped + (total - materialized)
+            unnested = unnested + total
+            matches = matches + res.num_matches
+            cmps = cmps + res.num_cmps
+            povf = povf + povf_i
+            if i + 1 < n_chunks:
+                state = nxt if prefetch else xchg(i + 1)
+
+        dropped = jnp.maximum(offset - out_capacity, 0) + dropped
+        out_valid = jnp.arange(out_capacity, dtype=I32) < jnp.minimum(
+            offset, out_capacity).astype(I32)
+        return dict(
+            num_matches=lax.psum(matches, axis),
+            num_cmps=lax.psum(cmps, axis),
+            num_unnested=lax.psum(unnested, axis),
+            overflow=bovf + povf + lax.psum(dropped, axis),
+            probe_row=out_p,
+            build_row=out_b,
+            out_valid=out_valid,
+        )
+
+    specs_in = (P(axis), P(axis))
+    specs_out = dict(
+        num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
+        probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
+    )
+    return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
+                             out_specs=specs_out))

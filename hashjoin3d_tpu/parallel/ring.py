@@ -48,7 +48,7 @@ from .shuffle import partition_exchange
 def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                           build_capacity: int, out_capacity: int,
                           step_out_capacity: int | None = None,
-                          axis: str = SHARD_AXIS):
+                          axis: str = SHARD_AXIS, prefetch: bool = True):
     """Build a jitted ring-scheduled distributed 3D hash join step.
 
     Returns ``step(build_keys, probe_keys) -> dict`` (same contract as
@@ -60,6 +60,14 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
     ``step_out_capacity`` bounds one (chunk, shard) probe's unnested output
     (default: ``out_capacity``); ``out_capacity`` bounds the per-shard total
     across all ring steps.
+
+    ``prefetch=True`` software-pipelines the schedule: the ppermute shipping
+    chunk k+1 is issued BEFORE step k's probe compute, so the collective and
+    the probe have no data dependence in issue order and XLA's latency-hiding
+    scheduler can run the hop concurrently with the probe (measured in
+    tools/overlap_bench.py; PERF.md "Exchange/compute overlap").
+    ``prefetch=False`` keeps the strictly sequential probe->hop order for
+    comparison.
     """
     ns = mesh.shape[axis]
     step_cap = out_capacity if step_out_capacity is None else step_out_capacity
@@ -88,6 +96,12 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         cmps = jnp.int64(0)
 
         for k in range(ns):
+            if prefetch and k + 1 < ns:
+                # issue the next hop before this step's compute: the
+                # ppermute depends only on (vkeys, vrow), so it overlaps
+                # the probe below instead of serializing after it
+                nkeys = lax.ppermute(vkeys, axis, fwd)
+                nrow = lax.ppermute(vrow, axis, fwd)
             res = probe_nested(table, vkeys)
             prow_l, brow_l, ovalid, total = unnest(table, res, step_cap)
             prow_g = vrow[jnp.maximum(prow_l, 0)]
@@ -112,8 +126,11 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             cmps = cmps + res.num_cmps
 
             if k + 1 < ns:  # forward the chunk to the ring neighbor
-                vkeys = lax.ppermute(vkeys, axis, fwd)
-                vrow = lax.ppermute(vrow, axis, fwd)
+                if prefetch:
+                    vkeys, vrow = nkeys, nrow
+                else:
+                    vkeys = lax.ppermute(vkeys, axis, fwd)
+                    vrow = lax.ppermute(vrow, axis, fwd)
 
         dropped = jnp.maximum(offset - out_capacity, 0) + step_dropped
         out_valid = jnp.arange(out_capacity, dtype=I32) < jnp.minimum(

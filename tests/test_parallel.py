@@ -456,3 +456,58 @@ def test_hier_2d_join_u64_keys(mesh):
         for b in np.nonzero(bk == k)[0]:
             want.append((p, int(b)))
     assert _pairs(out) == sorted(want)
+
+
+@pytest.mark.parametrize("prefetch", [True, False])
+def test_chunked_flat_join_matches_one_shot(mesh, prefetch):
+    """Chunked (pipelined) flat join == one-shot flat join == oracle, with
+    and without exchange prefetch."""
+    from hashjoin3d_tpu.parallel import (
+        dist_nested_join, dist_nested_join_chunked)
+
+    rng = np.random.default_rng(73)
+    n_b, n_p = 1024, 4096
+    bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    bk_d, pk_d = jax.device_put(bk, sh), jax.device_put(pk, sh)
+
+    chunked = dist_nested_join_chunked(
+        mesh, num_buckets_per_shard=64, build_capacity=n_b,
+        probe_capacity=n_p, out_capacity=16 * n_p, n_chunks=4,
+        prefetch=prefetch)
+    out = chunked(bk_d, pk_d)
+    assert int(out["overflow"]) == 0
+
+    want = _oracle_pairs(bk, pk)
+    assert _pairs(out) == want
+
+    flat = dist_nested_join(mesh, num_buckets_per_shard=64,
+                            build_capacity=n_b, probe_capacity=n_p,
+                            out_capacity=16 * n_p)
+    ref = flat(bk_d, pk_d)
+    assert int(out["num_matches"]) == int(ref["num_matches"])
+    assert int(out["num_unnested"]) == int(ref["num_unnested"])
+
+
+def test_ring_join_prefetch_matches_sequential(mesh):
+    """Ring join with pipelined hops == strictly sequential hops."""
+    from hashjoin3d_tpu.parallel import dist_ring_nested_join
+
+    rng = np.random.default_rng(74)
+    n_b, n_p = 512, 1024
+    bk = rng.integers(0, 300, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 400, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    bk_d, pk_d = jax.device_put(bk, sh), jax.device_put(pk, sh)
+
+    outs = []
+    for prefetch in (True, False):
+        ring = dist_ring_nested_join(
+            mesh, num_buckets_per_shard=32, build_capacity=n_b,
+            out_capacity=8 * n_p, step_out_capacity=4 * n_p,
+            prefetch=prefetch)
+        out = ring(bk_d, pk_d)
+        assert int(out["overflow"]) == 0
+        outs.append(out)
+    assert _pairs(outs[0]) == _pairs(outs[1]) == _oracle_pairs(bk, pk)
