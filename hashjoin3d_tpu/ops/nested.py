@@ -105,16 +105,21 @@ def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
     return _chk(keys_np, num_buckets)
 
 
-@partial(jax.jit, static_argnames=("num_buckets", "dense_direct"))
+@partial(jax.jit, static_argnames=("num_buckets", "dense_direct",
+                                   "key_domain"))
 def build_nested(keys: jax.Array, num_buckets: int,
                  valid: jax.Array | None = None,
-                 dense_direct: bool = False) -> NestedTable:
+                 dense_direct: bool = False,
+                 key_domain: int | None = None) -> NestedTable:
     """Build the 3D table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgNestJoinBuild::step``
     (``algebra.hh:386-389``).  Grouping duplicates under one directory entry is
     *naturally* a sort + run-length encode on TPU -- no per-tuple chain walks.
     ``valid`` marks live rows (padded shuffle outputs / filtered batches).
+    ``key_domain`` adds the dense key->group index (usable inside shard_map,
+    unlike the host builds), enabling the windowed probe strands on
+    distributed shards.
     """
     keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
@@ -155,6 +160,10 @@ def build_nested(keys: jax.Array, num_buckets: int,
         packed = row.astype(U32) | (pos1.astype(U32) << jnp.uint32(direct_shift))
         direct = jnp.zeros(n, U32).at[keys].set(packed)
 
+    from .layout import key_direct_index
+    key_direct = (key_direct_index(groups, key_domain)
+                  if key_domain is not None and not dense_direct else None)
+
     return NestedTable(
         groups=groups,
         main_pos_by_group=main_pos_by_group,
@@ -163,6 +172,7 @@ def build_nested(keys: jax.Array, num_buckets: int,
         num_buckets=num_buckets,
         direct=direct,
         direct_shift=direct_shift,
+        key_direct=key_direct,
     )
 
 

@@ -100,7 +100,16 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask):
         return jnp.sum(safe_lookup(table_bucket_len, b_sorted)
                        .astype(jnp.int64))
 
-    return lax.cond(n_miss > 0, walk, lambda _: jnp.int64(0), None)
+    # inside shard_map (check_vma) both cond branches must agree on how
+    # they vary across mesh axes -- mark the constant like the data
+    zero = jnp.int64(0)
+    try:
+        vma = jax.typeof(miss_mask).vma
+        if vma:
+            zero = lax.pvary(zero, tuple(vma))
+    except Exception:
+        pass
+    return lax.cond(n_miss > 0, walk, lambda _: zero, None)
 
 
 @partial(jax.jit, static_argnames=("unique", "nested"))
@@ -165,7 +174,8 @@ def _keydirect_probe(table, sk, skey_u32):
                                    "probes_permutation"))
 def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
                                    probes_iota=False,
-                                   probes_permutation=False):
+                                   probes_permutation=False,
+                                   mask=None):
     """Windowed Nrs / NrsNU probe strand (key_direct nested tables).
 
     The sorted group-id stream makes every per-group array access windowed;
@@ -176,10 +186,21 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     ``probes_permutation`` replaces it with one inverse-permutation scatter
     when the keys are a permutation of [0, P) (exp-1's R.k,
     main_experiment1.cc:425-428) -- the sorted keys are then the identity
-    and the key_direct image needs no lookup at all.
+    and the key_direct image needs no lookup at all.  ``mask`` marks live
+    probe rows (padded shuffle outputs inside shard_map): dead rows hit
+    nothing and contribute no comparisons.
     """
     P = pk.shape[0]
-    if probes_iota:
+    live_s = None
+    if mask is not None:
+        assert not (probes_iota or probes_permutation)
+        # dead rows travel as the all-ones key (sorts last, i32-views to
+        # -1 = miss); liveness rides the sort to gate the miss-cmps count
+        pk_m = jnp.where(mask, pk.astype(U32), jnp.uint32(0xFFFFFFFF))
+        skey, live_s, srow = lax.sort(
+            (pk_m, mask.astype(I32), jnp.arange(P, dtype=I32)), num_keys=1)
+        live_s = live_s > 0
+    elif probes_iota:
         skey = pk.astype(U32)
         srow = None
     elif probes_permutation:
@@ -187,7 +208,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         skey = jnp.arange(P, dtype=U32)
         srow = jnp.zeros(P, I32).at[pk.astype(I32)].set(
             jnp.arange(P, dtype=I32), mode="drop")
-    else:
+    elif mask is None:
         skey, srow = _sort_probes(pk)
     sk = skey.astype(I32)
 
@@ -206,7 +227,14 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         miss_cmps = _miss_chain_cmps(table.bucket_main_len,
                                      table.num_buckets, skey, ~hit)
     else:
-        g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey)
+        g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+        hit = g >= 0
+        glen = safe_lookup(table.groups.group_len, g).astype(I32)
+        pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32),
+                           g).astype(I32)
+        miss_mask = (~hit) if live_s is None else (live_s & ~hit)
+        miss_cmps = _miss_chain_cmps(table.bucket_main_len,
+                                     table.num_buckets, skey, miss_mask)
     m = jnp.sum(hit.astype(jnp.int64))
     cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
 

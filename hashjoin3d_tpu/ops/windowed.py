@@ -166,10 +166,21 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    # inside shard_map (check_vma mode) the output must declare how it
+    # varies across mesh axes: like the keys input
+    try:
+        vma = jax.typeof(keys_sorted).vma
+    except Exception:
+        vma = None
+    if vma:
+        out_shape = jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32,
+                                         vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32)
     out = pl.pallas_call(
         _windowed_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -47,7 +47,8 @@ def _global_rows(n_local: int, axis: str) -> jax.Array:
 
 def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                      build_capacity: int, probe_capacity: int,
-                     out_capacity: int, axis: str = SHARD_AXIS):
+                     out_capacity: int, axis: str = SHARD_AXIS,
+                     key_domain: int | None = None):
     """Build a jitted distributed 3D-hash-join step.
 
     Returns ``step(build_keys, probe_keys) -> dict`` where the key columns are
@@ -55,6 +56,13 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
     (num_matches, num_cmps, num_unnested, overflow) and shard-local unnested
     (probe_row, build_row) global-id pairs of length ``out_capacity`` per shard
     (valid-masked).
+
+    ``key_domain`` (a static upper bound on key values + 1, when known)
+    switches the shard-local probe to the windowed sorted strand
+    (ops/strands_windowed.py): each shard builds a dense key->group index
+    and resolves its received probes with Pallas windowed lookups instead
+    of XLA's serialized gathers -- the same rewrite that took the
+    single-chip probes 5x (PERF.md), applied per shard.
     """
     ns = mesh.shape[axis]
 
@@ -65,21 +73,33 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
             ns, build_capacity)
-        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid)
+        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
+                             key_domain=key_domain)
 
         pkeys, ppay, pvalid, povf = partition_exchange(
             axis, probe_keys, {"row": _global_rows(np_local, axis)},
             ns, probe_capacity)
-        res = probe_nested(table, pkeys, mask=pvalid)
 
-        prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
+        if key_domain is not None:
+            from ..ops.strands_windowed import keydirect_nested_strand_sorted
+            out = keydirect_nested_strand_sorted(
+                table, pkeys, out_capacity, mask=pvalid)
+            prow_l, brow_l = out["probe_row"], out["build_row"]
+            ovalid = prow_l >= 0
+            total = out["c_unnest"]
+            n_matches, n_cmps = out["c_htProbe"], out["c_htProbeCmp"]
+        else:
+            res = probe_nested(table, pkeys, mask=pvalid)
+            prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
+            n_matches, n_cmps = res.num_matches, res.num_cmps
+
         # map shard-local ids back to global row ids
         probe_row = jnp.where(ovalid, ppay["row"][jnp.maximum(prow_l, 0)], -1)
         build_row = jnp.where(ovalid, bpay["row"][jnp.maximum(brow_l, 0)], -1)
 
         return dict(
-            num_matches=lax.psum(res.num_matches, axis),
-            num_cmps=lax.psum(res.num_cmps, axis),
+            num_matches=lax.psum(n_matches, axis),
+            num_cmps=lax.psum(n_cmps, axis),
             num_unnested=lax.psum(total, axis),
             overflow=bovf + povf,
             probe_row=probe_row,
@@ -92,8 +112,12 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
+    # the windowed strand's pallas_call trips shard_map's vma checker (its
+    # scalar-prefetch slice mixes varying/unvarying operands in the
+    # interpreter); semantics are per-shard-local either way
+    kwargs = dict(check_vma=False) if key_domain is not None else {}
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out))
+                             out_specs=specs_out, **kwargs))
 
 
 def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
