@@ -570,10 +570,13 @@ def materialize_chaining_join(
     total = jnp.sum(probe.match_count.astype(jnp.int64))
 
     def expanded(_):
+        from .layout import emit_pos
         gstart_by_probe = table.groups.group_start[probe.g]
-        p, within, valid, tot, gstart = expand(
-            probe.match_count, out_size, (gstart_by_probe,))
-        build_row = table.groups.group_rows[gstart + within]
+        p, within, valid, tot, gstart, glen_o = expand(
+            probe.match_count, out_size,
+            (gstart_by_probe, probe.match_count))
+        build_row = table.groups.group_rows[
+            gstart + emit_pos(within, glen_o)]
         return (jnp.where(valid, p, -1), jnp.where(valid, build_row, -1),
                 valid)
 

@@ -80,7 +80,11 @@ class GroupIndex:
     ukey: jax.Array        # u32[n]  distinct keys, ascending, padded with UKEY_PAD
     group_start: jax.Array  # i32[n]  offset of each key's rows in group_rows
     group_len: jax.Array    # i32[n]  number of rows per key (0 for padding)
-    group_rows: jax.Array   # i32[n]  build row ids, per key: [first, rest reversed]
+    group_rows: jax.Array   # i32[n]  build row ids per key, ASCENDING (the
+    #   stable key sort's row payload verbatim -- storing emission order
+    #   would cost an n-sized permutation scatter per build, ~80 ms at
+    #   16.8M; consumers recover the [first, rest LIFO] chain order with
+    #   :func:`emit_pos` instead)
     first_row: jax.Array    # i32[n]  first-inserted row id per key (MainNode._data)
     gid_by_row: jax.Array   # i32[n]  group id of each build row
     n_keys: jax.Array       # i32[]   number of distinct keys (traced)
@@ -137,15 +141,12 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
     first_row = jnp.where(
         gvalid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
 
-    # Emission order per group: sorted position p=0 stays first, the rest are
-    # reversed (head-insert into the sub-chain, ht_nested.hh:398-412).
-    p = i_sorted - run_start
-    q = jnp.where(p == 0, 0, run_len - p)
-    target = run_start + q
-    if vs is not None:
-        # invalid rows park at their own sorted slot (>= n_valid): bijective
-        target = jnp.where(vs, target, i_sorted)
-    group_rows = jnp.zeros(n, I32).at[target].set(srow)
+    # group_rows stays in sorted order (= srow verbatim; invalid rows sit
+    # at the tail already); the [first, rest LIFO] emission order
+    # (head-insert into the sub-chain, ht_nested.hh:398-412) is recovered
+    # arithmetically by consumers via emit_pos() -- dropping the n-sized
+    # permutation scatter this used to cost.
+    group_rows = srow
 
     gid_eff = gid if vs is None else jnp.where(vs, gid, -1)
     gid_by_row = jnp.zeros(n, I32).at[srow].set(gid_eff)
@@ -199,10 +200,8 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
     i = jnp.arange(n, dtype=I32)
     is_first, gid, run_start, run_len = run_boundaries(skey, jnp.int32(n))
 
-    # sub-chain emission order: [first, rest reversed] (ht_nested.hh:398-412)
-    p = i - run_start
-    q = jnp.where(p == 0, 0, run_len - p)
-    group_rows = jnp.zeros(n, I32).at[run_start + q].set(srow)
+    # group_rows in sorted order (see GroupIndex docstring / emit_pos)
+    group_rows = srow
 
     # Directory via ONE narrow head-position scatter + cap-sized gathers.
     # (A single (n,4) stacked scatter looks tidy but XLA's multi-column
@@ -353,6 +352,19 @@ def key_direct_lookup(key_direct: jax.Array, probe_keys: jax.Array):
     in_dom = pk < canon_key_dtype(probe_keys)(dom)
     g = jnp.where(in_dom, key_direct[jnp.minimum(pk, dom - 1)], -1)
     return jnp.maximum(g, 0), g >= 0
+
+
+def emit_pos(within: jax.Array, length: jax.Array) -> jax.Array:
+    """Within-group offset into the ASCENDING ``group_rows`` for emission
+    slot ``within`` of a group of ``length`` rows.
+
+    The reference emits [first-inserted row, then remaining duplicates in
+    LIFO order] (head-insert, ``ht_chaining.hh::insert`` /
+    ``ht_nested.hh:398-412``; unnest ``algebra.hh:510-541``).  Rows ascend
+    within each sorted-key run (stable sort), so emission slot 0 reads
+    offset 0 and slot w>0 reads offset ``length - w``.
+    """
+    return jnp.where(within == 0, 0, length - within)
 
 
 def shrink_group_arrays(arrays: tuple, cap: int):

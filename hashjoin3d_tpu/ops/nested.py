@@ -442,23 +442,27 @@ def deferred_two_join_strand(tbl_s: NestedTable, tbl_t: NestedTable,
     rs = probe_nested(tbl_s, keys, mask=mask)           # [r, {s}]
     rst = probe_nested(tbl_t, keys, mask=rs.hit)        # [r, {s}, {t}]
 
+    from .layout import emit_pos
+
     # Unnest #1 unpacks T: one row per T duplicate of surviving nested
     # tuples; per-segment attributes ride the expansions as payloads.
     both = rst.hit                                       # implies rs.hit
     t_counts = jnp.where(both, rst.group_len, 0)
-    p1, w1, v1, n_unnest1, gst_t, gs1 = expand(
+    p1, w1, v1, n_unnest1, gst_t, gs1, tlen1 = expand(
         t_counts, out1,
-        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0)))
-    t_row = tbl_t.groups.group_rows[gst_t + w1]          # S group still nested
+        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0),
+         t_counts))
+    t_row = tbl_t.groups.group_rows[gst_t + emit_pos(w1, tlen1)]
 
     # Unnest #2 unpacks S.
     s_counts = jnp.where(v1, tbl_s.groups.group_len[gs1], 0)
-    _, w2, v2, n_unnest2, gst_s, t_prop, r_prop = expand(
+    _, w2, v2, n_unnest2, gst_s, t_prop, r_prop, slen2 = expand(
         s_counts, out2,
         (tbl_s.groups.group_start[gs1],
          jnp.where(v1, t_row, 0),
-         jnp.where(v1, p1, 0)))
-    s_row = tbl_s.groups.group_rows[gst_s + w2]
+         jnp.where(v1, p1, 0),
+         s_counts))
+    s_row = tbl_s.groups.group_rows[gst_s + emit_pos(w2, slen2)]
 
     return dict(
         r_row=jnp.where(v2, r_prop, -1),
@@ -496,10 +500,11 @@ def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
     # payload at all: every NestedBatch constructor sets probe_row to
     # arange(P), so the segment index p that expand() already propagates IS
     # the probe row (one int64 scatter + one out-sized cummax saved).
+    from .layout import emit_pos
     gstart_by_probe = table.groups.group_start[nested.g]
-    p, within, valid, total, gstart = expand(
-        nested.group_len, out_size, (gstart_by_probe,))
-    build_row = table.groups.group_rows[gstart + within]
+    p, within, valid, total, gstart, glen_o = expand(
+        nested.group_len, out_size, (gstart_by_probe, nested.group_len))
+    build_row = table.groups.group_rows[gstart + emit_pos(within, glen_o)]
     probe_row = jnp.where(valid, p, -1)
     build_row = jnp.where(valid, build_row, -1)
     return probe_row, build_row, valid, total.astype(jnp.int64)
