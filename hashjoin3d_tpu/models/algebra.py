@@ -395,3 +395,169 @@ class AlgUnnestHt(AlgBase):
         out = Batch(cols, valid, nests)
         self._consumer.consume(out, gs)
         self.stop_timer()
+
+
+# -- strand fusion -----------------------------------------------------------------
+
+def _strand_ops(scan: AlgScan):
+    """The operator chain from a scan's consumer down to (incl.) AlgTop."""
+    ops = []
+    op = scan._consumer
+    while op is not None:
+        ops.append(op)
+        op = op.consumer()
+    return ops
+
+
+def compile_strand(scan: AlgScan, out_sizes: dict | None = None,
+                   growth: int = 2):
+    """Fuse a composed probe strand into ONE jitted device program.
+
+    The interpreted algebra executes one operator at a time with a host
+    sync per expanding operator (match counts size the output buffers) --
+    clear, but a composed plan can never run as a single fused device
+    program.  ``compile_strand`` closes that gap: it walks the strand from
+    ``scan`` to its ``AlgTop``, assigns every expanding operator a STATIC
+    output capacity, traces the whole chain as one pure function, and
+    returns a zero-argument callable that runs the strand end-to-end in
+    one dispatch (one device sync total, at the end, to surface counters).
+
+    Capacities come from, in priority order: ``out_sizes[op]`` (explicit),
+    the operator's count from a prior interpreted run rounded up to a
+    power of two ("profile-then-fuse" -- run the plan once interpreted,
+    then compile), or ``growth * input_size`` as a last resort.  Results
+    are exact whenever capacities suffice; each expanding operator's true
+    total is returned alongside, and the callable raises if any capacity
+    was exceeded (counters stay exact; rows would have been truncated).
+
+    Build strands run (interpreted) before compilation -- their tables are
+    inputs to the fused function, not baked-in constants, so rebuilt
+    tables of the same shape reuse the compiled program.
+    """
+    ops = _strand_ops(scan)
+    assert ops and isinstance(ops[-1], AlgTop), "strand must end in AlgTop"
+    out_sizes = out_sizes or {}
+
+    def capacity(op, n_in):
+        if op in out_sizes:
+            return max(int(out_sizes[op]), 1)
+        if op.count() > 0:
+            return max(1, 1 << (int(op.count()) - 1).bit_length())
+        return max(1, growth * n_in)
+
+    # static capacity per expanding op (resolved at compile time)
+    caps = {}
+    n = scan._relation.card
+    for op in ops:
+        if isinstance(op, (AlgHashJoinProbe, AlgUnnestHt)):
+            caps[id(op)] = n = capacity(op, n)
+
+    # gather the non-constant inputs: tables + build-side columns
+    aux = {}
+    for op in ops:
+        if isinstance(op, AlgHashJoinProbe):
+            aux[f"t{id(op)}"] = op._build.hashtable()
+            aux[f"b{id(op)}"] = dict(op._build.build_batch.columns)
+        elif isinstance(op, AlgNestJoinProbe):
+            aux[f"t{id(op)}"] = op._build.hashtable()
+            aux[f"b{id(op)}"] = dict(op._build.build_batch.columns)
+
+    def run_fused(columns, aux):
+        batch = Batch(dict(columns))
+        counters = {}
+        for op in ops:
+            oid = id(op)
+            if isinstance(op, AlgTop):
+                m = (jnp.sum(batch.mask.astype(jnp.int64))
+                     if batch.mask is not None else jnp.int64(batch.n))
+                counters[f"count{oid}"] = m
+            elif isinstance(op, AlgSelection):  # covers AlgDynSelection
+                sel = op._pred(batch.columns)
+                mask = sel if batch.mask is None else (sel & batch.mask)
+                batch = Batch(batch.columns, mask, dict(batch.nests))
+                counters[f"count{oid}"] = jnp.sum(mask.astype(jnp.int64))
+            elif isinstance(op, AlgHashJoinProbe):
+                table = aux[f"t{oid}"]
+                keys = op._key(batch.columns)
+                res = probe_chaining(table, keys, unique=op._unique,
+                                     mask=batch.mask)
+                prow, brow, valid, total = materialize_chaining_join(
+                    table, res, caps[oid], unique=op._unique)
+                pr, br = jnp.maximum(prow, 0), jnp.maximum(brow, 0)
+                cols = {op._lp + k: v[pr] for k, v in batch.columns.items()}
+                cols.update({op._rp + k: v[br]
+                             for k, v in aux[f"b{oid}"].items()})
+                nests = {name: Nest(nst.group[pr], nst.table, nst.build_batch)
+                         for name, nst in batch.nests.items()}
+                batch = Batch(cols, valid, nests)
+                counters[f"count{oid}"] = res.num_matches
+                counters[f"cmps{oid}"] = res.num_cmps
+                counters[f"total{oid}"] = total
+            elif isinstance(op, AlgNestJoinProbe):
+                table = aux[f"t{oid}"]
+                keys = op._key(batch.columns)
+                res = probe_nested(table, keys, mask=batch.mask)
+                nests = dict(batch.nests)
+                nests[op._nest] = Nest(res.g, table,
+                                       Batch(aux[f"b{oid}"]))
+                batch = Batch(batch.columns, res.hit, nests)
+                counters[f"count{oid}"] = res.num_matches
+                counters[f"cmps{oid}"] = res.num_cmps
+            elif isinstance(op, AlgUnnestHt):
+                nest = batch.nests[op._nest]
+                table = nest.table
+                mask = (batch.mask if batch.mask is not None
+                        else jnp.ones(batch.n, bool))
+                glen = jnp.where(mask, table.groups.group_len[nest.group], 0)
+                from ..ops.nested import NestedBatch
+                nb = NestedBatch(
+                    probe_row=jnp.arange(batch.n, dtype=jnp.int32),
+                    g=nest.group, hit=mask, group_len=glen,
+                    num_matches=jnp.int64(0), num_cmps=jnp.int64(0))
+                prow, brow, valid, n_out = unnest(table, nb, caps[oid])
+                pr, br = jnp.maximum(prow, 0), jnp.maximum(brow, 0)
+                cols = {op._lp + k: v[pr] for k, v in batch.columns.items()}
+                cols.update({op._rp + k: v[br]
+                             for k, v in nest.build_batch.columns.items()})
+                nests = {name: Nest(nst.group[pr], nst.table, nst.build_batch)
+                         for name, nst in batch.nests.items()
+                         if name != op._nest}
+                batch = Batch(cols, valid, nests)
+                counters[f"count{oid}"] = n_out
+                counters[f"total{oid}"] = n_out
+            else:
+                raise NotImplementedError(
+                    f"compile_strand: unsupported operator {op.name}")
+        out_cols = dict(batch.columns)
+        out_mask = (batch.mask if batch.mask is not None
+                    else jnp.ones(batch.n, bool))
+        return out_cols, out_mask, counters
+
+    fused = jax.jit(run_fused)
+
+    def run():
+        """Execute the fused strand; fills every operator's counters and
+        the AlgTop result; returns the AlgTop.  One device sync."""
+        for op in ops:
+            op.reset()
+        cols, mask, counters = fused(dict(scan._relation.columns), aux)
+        counters = jax.device_get(counters)
+        scan._count = scan._relation.card
+        top = ops[-1]
+        for op in ops:
+            oid = id(op)
+            if f"count{oid}" in counters:
+                op._count = int(counters[f"count{oid}"])
+            if f"cmps{oid}" in counters:
+                op.num_cmps = int(counters[f"cmps{oid}"])
+            if oid in caps and int(counters[f"total{oid}"]) > caps[oid]:
+                raise ValueError(
+                    f"{op.name}: fused capacity {caps[oid]} exceeded "
+                    f"(true total {int(counters[f'total{oid}'])}); re-run "
+                    f"interpreted or pass a larger out_sizes hint")
+            op.stop_timer()
+        top.result = Batch(cols, mask)
+        scan.stop_timer()
+        return top
+
+    return run

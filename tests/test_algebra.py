@@ -67,3 +67,47 @@ def test_print_strand_and_runtimes():
         "AlgTop", "AlgHashJoinProbe", "AlgSelection", "AlgScan"]
     assert get_runtime_excl(ops["top"]) == ops["top"].runtime()
     assert all(op.runs() == 1 for op in ops.values())
+
+
+def _fused_rows(top, cols):
+    return _rows(top, cols)
+
+
+def test_compile_strand_fuses_nested_plan():
+    """Fused strand (one device program) == interpreted run: counts,
+    comparison counters, result multisets (plans of algebra_test2/test3)."""
+    import io
+    from hashjoin3d_tpu.models.algebra import compile_strand
+
+    # 3D join + unnest plan (test2 shape), profile-then-fuse
+    ops = ex.test2(io.StringIO())
+    want = _rows(ops["top"], ("a", "b", "r.c", "r.d"))
+    run = compile_strand(ops["scan_l"])
+    top = run()
+    assert top.count() == 6
+    assert ops["probe"].count() == 3
+    assert ops["probe"].num_cmps == 4  # == interpreted run's value
+    assert ops["unnest"].count() == 6
+    assert ops["sel"].count() == 3
+    assert _rows(top, ("a", "b", "r.c", "r.d")) == want
+
+    # chaining join plan (test3 shape)
+    ops3 = ex.test3(io.StringIO())
+    want3 = _rows(ops3["top"], ("l.a", "l.b", "r.c", "r.d"))
+    run3 = compile_strand(ops3["scan_l"])
+    top3 = run3()
+    assert top3.count() == 6
+    assert ops3["probe"].count() == 6
+    assert ops3["probe"].num_cmps == 10
+    assert _rows(top3, ("l.a", "l.b", "r.c", "r.d")) == want3
+
+    # explicit capacity hints (no prior run needed) + overflow detection
+    ops2 = ex.test2(io.StringIO())
+    run2 = compile_strand(ops2["scan_l"],
+                          out_sizes={ops2["probe"]: 8, ops2["unnest"]: 8})
+    assert run2().count() == 6
+    import pytest
+    run_small = compile_strand(ops2["scan_l"],
+                               out_sizes={ops2["unnest"]: 2})
+    with pytest.raises(ValueError, match="capacity"):
+        run_small()
