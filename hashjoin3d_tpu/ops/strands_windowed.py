@@ -15,10 +15,16 @@ windowed lookup:
   miss holes; segment-expansion outputs walk ``group_rows`` in CSR order;
   and the original probe ids come back via ``srow[p]`` keyed by the sorted
   segment index ``p``;
-* emission order is by sorted key rather than probe order -- result sets
-  are bit-equal as multisets (the engine's standing contract, SURVEY §7.4)
-  and all counters (c_htProbe / c_htProbeCmp / c_unnest / c_top) are
-  bit-equal to the reference, pinned by differential tests.
+* emission order is by sorted key rather than probe order, and within a
+  group it is ascending insertion order rather than the reference's
+  [first, rest LIFO] -- ascending keeps the expansion's group_rows
+  positions near-contiguous, which the windowed lookup's coverage needs
+  even for million-row zipf groups.  Result sets are bit-equal as
+  multisets (the engine's standing contract, SURVEY §7.4) and all
+  counters (c_htProbe / c_htProbeCmp / c_unnest / c_top) are bit-equal to
+  the reference, pinned by differential tests.  (The clarity-layer
+  ops -- unnest / materialize / algebra -- keep exact LIFO emission via
+  layout.emit_pos.)
 
 Every lookup guards itself: ``safe_lookup`` checks window coverage on
 device and falls back to the XLA gather in the same jit (``lax.cond``), so
@@ -34,7 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .hashing import bucket_of, hash_key
-from .layout import I32, U32, emit_pos, expand
+from .layout import I32, U32, expand
 from .windowed import (DEFAULT_C, DEFAULT_W, chunk_bases, windowed_lookup,
                        windowed_coverage_ok)
 
@@ -247,9 +253,13 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
     p, within, valid, total, = expand(glen, out_size)[:4]
     gst = safe_lookup(gstart_by_p, p).astype(I32)
-    glen_o = safe_lookup(glen, p).astype(I32)
-    build_row = safe_lookup(table.groups.group_rows,
-                            gst + emit_pos(within, glen_o)).astype(I32)
+    # ascending within-group emission: group_rows positions stay globally
+    # near-contiguous so the windowed lookup always covers (the LIFO
+    # emission offsets of emit_pos() would spread a chunk across a whole
+    # large group -- e.g. zipf's 1.16M-row group -- forcing the gather
+    # fallback).  Result sets are multiset-exact; per-group order here is
+    # insertion order rather than the reference's [first, rest LIFO].
+    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
     if probes_iota:
         probe_row = p
     else:
@@ -296,9 +306,7 @@ def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     gstart_t_by_p = safe_lookup(tbl_t.groups.group_start, g_t).astype(I32)
     p1, w1, v1, n_un1 = expand(t_counts, out1)[:4]
     gst_t = safe_lookup(gstart_t_by_p, p1).astype(I32)
-    tlen_o = safe_lookup(t_counts, p1).astype(I32)
-    t_row = safe_lookup(tbl_t.groups.group_rows,
-                        gst_t + emit_pos(w1, tlen_o)).astype(I32)
+    t_row = safe_lookup(tbl_t.groups.group_rows, gst_t + w1).astype(I32)
 
     # Unnest #2 (S): expand each (r, t_row) by the S group
     glen_s_m = jnp.where(both, glen_s, 0)
@@ -307,9 +315,7 @@ def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     gst_s_by_p1 = safe_lookup(gstart_s_by_p, p1).astype(I32)
     p2, w2, v2, n_un2 = expand(s_counts, out2)[:4]
     gst_s = safe_lookup(gst_s_by_p1, p2).astype(I32)
-    slen_o = safe_lookup(s_counts, p2).astype(I32)
-    s_row = safe_lookup(tbl_s.groups.group_rows,
-                        gst_s + emit_pos(w2, slen_o)).astype(I32)
+    s_row = safe_lookup(tbl_s.groups.group_rows, gst_s + w2).astype(I32)
     t_prop = safe_lookup(t_row, p2).astype(I32)
     r_prop = safe_lookup(p1, p2).astype(I32)  # p1 IS the probe row (iota)
 
@@ -352,9 +358,7 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     gstart_s_by_p = safe_lookup(tbl_s.groups.group_start, g_s).astype(I32)
     p1, w1, v1, n_rs = expand(glen_s, out1)[:4]
     gst_s = safe_lookup(gstart_s_by_p, p1).astype(I32)
-    slen1 = safe_lookup(glen_s, p1).astype(I32)
-    s_row = safe_lookup(tbl_s.groups.group_rows,
-                        gst_s + emit_pos(w1, slen1)).astype(I32)
+    s_row = safe_lookup(tbl_s.groups.group_rows, gst_s + w1).astype(I32)
 
     # each PAIR probes T with the pair's R key == p1 (keys are the iota)
     g_t_by_p = safe_lookup((tbl_t.key_direct + 1).view(U32), sk).astype(I32) - 1
@@ -376,9 +380,7 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     gst_t_by_p1 = safe_lookup(gstart_t_by_p, p1).astype(I32)
     p2, w2, v2, n_rst = expand(t_counts, out2)[:4]
     gst_t = safe_lookup(gst_t_by_p1, p2).astype(I32)
-    tlen2 = safe_lookup(t_counts, p2).astype(I32)
-    t_row = safe_lookup(tbl_t.groups.group_rows,
-                        gst_t + emit_pos(w2, tlen2)).astype(I32)
+    t_row = safe_lookup(tbl_t.groups.group_rows, gst_t + w2).astype(I32)
     s_prop = safe_lookup(s_row, p2).astype(I32)
     r_prop = safe_lookup(p1, p2).astype(I32)
 
@@ -445,9 +447,7 @@ def keydirect_chaining_strand_sorted(table, pk, out_size):
     gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
     p, within, valid, total = expand(glen, out_size)[:4]
     gst = safe_lookup(gstart_by_p, p).astype(I32)
-    glen_o = safe_lookup(glen, p).astype(I32)
-    build_row = safe_lookup(table.groups.group_rows,
-                            gst + emit_pos(within, glen_o)).astype(I32)
+    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
     probe_row = safe_lookup(srow, p).astype(I32)
     return dict(
         probe_row=jnp.where(valid, probe_row, -1),

@@ -263,3 +263,30 @@ def test_windowed_lookup_miss_holes():
                                      C=128, W=1024, interpret=True))
     want = np.where(holes, 0, table[np.maximum(keys, 0)])
     np.testing.assert_array_equal(out, want)
+
+
+def test_stream_probe_matches_whole_column():
+    """Chunk-streamed host-resident probe == whole-column probe (counters
+    and pair multiset), including a ragged tail chunk."""
+    import jax
+    from hashjoin3d_tpu.models.exp1 import _chaining_probe_strand
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.streaming import stream_probe_chaining
+
+    rng = np.random.default_rng(13)
+    n = 4096
+    bk = rng.permutation(n).astype(np.uint32)
+    pk = rng.integers(0, n + 32, 10000, dtype=np.uint32)  # ragged vs 4096
+    tbl = build_chaining_host(bk, n, dense_direct=True, n_keys=n)
+
+    want = jax.device_get(_chaining_probe_strand(
+        tbl, jax.device_put(pk), pk.size, True))
+    m, c, pairs = stream_probe_chaining(tbl, pk, chunk_size=4096,
+                                        unique=True, collect_pairs=True)
+    assert m == int(want["c_htProbe"])
+    assert c == int(want["c_htProbeCmp"])
+    got = sorted((int(a), int(b)) for pr, br in pairs
+                 for a, b in zip(pr, br))
+    wp, wb = np.asarray(want["probe_row"]), np.asarray(want["build_row"])
+    v = wp >= 0
+    assert got == sorted(zip(wp[v].tolist(), wb[v].tolist()))
