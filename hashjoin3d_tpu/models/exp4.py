@@ -353,12 +353,16 @@ class Experiment4:
         key_dom = self.num_fk_common + 2 * self.num_fk_exclusive
 
         def build_fn(keys, nb):
-            # exact distinct-FK count is known analytically -> sync-free build
+            # exact distinct-FK count is known analytically -> sync-free build;
+            # Chj probes never use IsBuildKeyUnique, so the chaining builds
+            # skip the early-exit chain-position index (an n-sized scatter
+            # plus scans: ~700 ms at 12.6M rows)
             if nested:
                 return build_nested_host(keys, nb, n_keys=num_dv_fk,
                                          key_domain=key_dom)
             return build_chaining_host(keys, nb, n_keys=num_dv_fk,
-                                       key_domain=key_dom)
+                                       key_domain=key_dom,
+                                       early_exit_index=False)
         # Windowed (sorted-probe) strands: R.k is an iota by construction
         # (main_experiment4.cc:522-525), so the whole probe pipeline rides
         # the Pallas windowed lookup with no probe sort at all
