@@ -23,6 +23,27 @@ import numpy as np
 
 
 _sum_i64_jit = None
+_kd_total_jit = None
+
+
+def _kd_expand_total(table, pk):
+    """Exact unnested-result size of a keydirect probe (one reduction)."""
+    global _kd_total_jit
+    if _kd_total_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        def f(table, pk):
+            from .ops.layout import I32, U32
+            from .ops.strands_windowed import safe_lookup
+            sk = jnp.sort(pk.astype(jnp.uint32)).astype(I32)
+            g = safe_lookup((table.key_direct + 1).view(U32),
+                            sk).astype(I32) - 1
+            glen = safe_lookup(table.groups.group_len, g)
+            return jnp.sum(glen.astype(jnp.int64))
+
+        _kd_total_jit = jax.jit(f)
+    return _kd_total_jit(table, pk)
 
 
 def _sum_i64(x):
@@ -158,8 +179,35 @@ def join(build_keys, probe_keys, how: str = "nested",
 
     from .ops import probe_chaining, probe_nested, unnest
     from .ops import materialize_chaining_join
-    from .ops.chaining import build_chaining_host
+    from .ops.chaining import build_chaining_host, can_use_dense_direct
     from .ops.nested import build_nested_host
+
+    # Physical-plan choices (the windowed fast paths, PERF.md):
+    # - permutation build keys -> dense-direct layout, single-pass sorted
+    #   probe strand;
+    # - densely bounded 32-bit key domains -> key_direct index + windowed
+    #   keydirect strand.  The domain is inferred from max(build_keys) when
+    #   the caller gave no hint and the domain is not too sparse (<= 4x the
+    #   build rows: a sparser key_direct wastes HBM for few hits).
+    narrow = bk.dtype.itemsize == 4 and pk.dtype.itemsize == 4
+    if key_domain is None and narrow:
+        dom = int(bk.max()) + 1
+        if dom <= 4 * bk.size:
+            key_domain = dom
+    dense = narrow and can_use_dense_direct(bk, num_buckets)
+
+    if how == "chaining" and dense:
+        # single-pass windowed strand: positional pairs + exact counters
+        from .ops.strands_windowed import direct_probe_strand_sorted
+        table = build_chaining_host(bk, num_buckets, dense_direct=True,
+                                    n_keys=bk.size,
+                                    full_chain_index=not unique)
+        out = jax.device_get(direct_probe_strand_sorted(table, pk,
+                                                        unique=unique))
+        v = out["probe_row"] >= 0
+        return JoinResult(out["probe_row"][v], out["build_row"][v],
+                          int(out["c_htProbe"]), int(out["c_htProbeCmp"]),
+                          int(out["total"]))
 
     if how == "chaining":
         table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
@@ -175,6 +223,20 @@ def join(build_keys, probe_keys, how: str = "nested",
     else:
         table = build_nested_host(bk, num_buckets, n_keys=n_keys,
                                   key_domain=key_domain)
+        if table.key_direct is not None:
+            # windowed keydirect strand: one sizing sync, then the fused
+            # probe+unnest pipeline (PERF.md: 25-47x the reference at 16.8M)
+            from .ops.strands_windowed import keydirect_nested_strand_sorted
+            pre = keydirect_nested_strand_sorted(table, pk, 1,
+                                                 do_unnest=False)
+            m, c = (int(x) for x in jax.device_get(
+                (pre["c_htProbe"], pre["c_htProbeCmp"])))
+            total = int(_kd_expand_total(table, pk))
+            out = jax.device_get(keydirect_nested_strand_sorted(
+                table, pk, max(1, total)))
+            v = out["probe_row"] >= 0
+            return JoinResult(out["probe_row"][v], out["build_row"][v],
+                              m, c, total)
         res = probe_nested(table, pk)
         m, c, total = (int(x) for x in jax.device_get(
             (res.num_matches, res.num_cmps, _sum_i64(res.group_len))))

@@ -180,3 +180,29 @@ def test_join_backend_auto_routing():
     bk64 = np.array([1, (1 << 40) | 1], np.uint64)
     r64 = hj.join(bk64, np.array([(1 << 40) | 1], np.uint64), backend="auto")
     assert sorted(r64.pairs()) == [(0, 1)]
+
+
+def test_join_device_windowed_paths():
+    """Explicitly exercise the api's windowed physical plans (dense-direct
+    chaining, keydirect nested) vs the host engine."""
+    from hashjoin3d_tpu.hostengine import native_engine
+    if native_engine() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(23)
+    n = 512
+    bk = rng.permutation(n).astype(np.uint32)        # dense-direct eligible
+    pk = rng.integers(0, n + 32, 2000, dtype=np.uint32)
+    for unique in (True, False):
+        rd = hj.join(bk, pk, how="chaining", unique=unique,
+                     backend="device", num_buckets=n)
+        rh = hj.join(bk, pk, how="chaining", unique=unique,
+                     backend="host", num_buckets=n)
+        assert (rd.num_matches, rd.num_cmps) == (rh.num_matches, rh.num_cmps)
+        assert sorted(rd.pairs()) == sorted(rh.pairs())
+
+    bk2 = rng.integers(0, 300, 2048, dtype=np.uint32)  # keydirect eligible
+    pk2 = rng.integers(0, 400, 1024, dtype=np.uint32)
+    rd2 = hj.join(bk2, pk2, backend="device")
+    rh2 = hj.join(bk2, pk2, backend="host")
+    assert (rd2.num_matches, rd2.num_cmps) == (rh2.num_matches, rh2.num_cmps)
+    assert sorted(rd2.pairs()) == sorted(rh2.pairs())
