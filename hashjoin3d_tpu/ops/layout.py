@@ -203,24 +203,45 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
     # group_rows in sorted order (see GroupIndex docstring / emit_pos)
     group_rows = srow
 
-    # Directory via ONE narrow head-position scatter + cap-sized gathers.
+    # Directory via ONE narrow head-position scatter + cap-sized lookups.
     # (A single (n,4) stacked scatter looks tidy but XLA's multi-column
-    # scatter is ~14x slower than a narrow scatter on v5e -- 1.47 s vs
-    # 0.11 s at n=16.8M; four 1M gathers cost ~40 ms.)
+    # scatter is ~14x slower than a narrow scatter on v5e.)  Group ids are
+    # assigned in sorted-key order, so the head positions hp ascend -- the
+    # three directory gathers ride the windowed lookup (~2.5 ms each at
+    # 8.4M entries instead of ~72 ms of serialized gather; 64-bit keys
+    # fetch their halves separately, windowed lookups are u32).
     if n == 0:
         ukey = jnp.full(cap, ukey_pad(kd), kd)
         group_start = jnp.zeros(cap, I32)
         group_len = jnp.zeros(cap, I32)
         first_row = jnp.zeros(cap, I32)
     else:
+        from .strands_windowed import safe_lookup, stride_params
         tgt = jnp.where(is_first, gid, cap)
         head = jnp.full(cap + 1, n, I32).at[tgt].set(i, mode="drop")[:cap]
         pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(gid[-1] + 1, cap)
         hp = jnp.minimum(head, n - 1)
-        ukey = jnp.where(pad, ukey_pad(kd), skey[hp])
+        stride = n / cap                # heads stride by rows-per-key
+        if stride <= 8:
+            # windowed directory fetch (kernel cost grows with the window,
+            # so past ~8 rows/key the serialized gather wins outright)
+            W, C = stride_params(stride)
+
+            def fetch(vals):
+                return safe_lookup(vals, hp, W=W, C=C)
+        else:
+            def fetch(vals):
+                return vals.view(U32)[hp] if vals.dtype != U32 else vals[hp]
+        if jnp.dtype(kd).itemsize == 8:
+            hi = fetch((skey >> jnp.uint64(32)).astype(U32))
+            lo = fetch(skey.astype(U32))
+            skey_hp = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo
+        else:
+            skey_hp = fetch(skey)
+        ukey = jnp.where(pad, ukey_pad(kd), skey_hp)
         group_start = jnp.where(pad, n, head)
-        group_len = jnp.where(pad, 0, run_len[hp])
-        first_row = jnp.where(pad, n, srow[hp])
+        group_len = jnp.where(pad, 0, fetch(run_len).view(I32))
+        first_row = jnp.where(pad, n, fetch(srow).view(I32))
 
     if with_gid_by_row:
         gid_by_row = jnp.zeros(n, I32).at[srow].set(gid)

@@ -56,34 +56,52 @@ def _pad_table(arr: jax.Array, W: int = DEFAULT_W) -> jax.Array:
 
 
 def safe_lookup(values: jax.Array, keys: jax.Array,
-                W: int = DEFAULT_W) -> jax.Array:
+                W: int = DEFAULT_W, C: int = DEFAULT_C) -> jax.Array:
     """``values[keys]`` with miss-as-zero semantics, windowed when coverage
     holds, XLA gather otherwise (one ``lax.cond``; the coverage check is a
     cheap reduction riding the key stream).
 
     ``values``: u32 (or i32, viewed) array; entries must be < 2^31 when
     i32-viewed data is decoded downstream.  ``keys``: i32, any key < 0 or
-    >= len(values) yields 0.
+    >= len(values) yields 0.  Coverage needs each C-chunk's in-range key
+    spread <= W; when the stream's stride per element exceeds ~W/C, pass a
+    smaller ``C`` and/or larger ``W`` (see :func:`stride_params`).
     """
     values = values.view(U32) if values.dtype != U32 else values
     T = values.shape[0]
     keys = keys.astype(I32)
     n = keys.shape[0]
-    pad = (-n) % DEFAULT_C
+    pad = (-n) % C
     kp = (jnp.concatenate([keys, jnp.full(pad, -1, I32)]) if pad else keys)
     vp = _pad_table(values, W)
 
     def windowed(_):
-        return windowed_lookup(vp, kp, W=W)
+        return windowed_lookup(vp, kp, W=W, C=C)
 
     def gather(_):
         in_range = (kp >= 0) & (kp < T)
         safe = jnp.clip(kp, 0, T - 1)
         return jnp.where(in_range, values[safe], jnp.uint32(0))
 
-    ok = windowed_coverage_ok(kp, vp.shape[0], W=W)
+    ok = windowed_coverage_ok(kp, vp.shape[0], W=W, C=C)
     out = lax.cond(ok, windowed, gather, None)
     return out[:n] if pad else out
+
+
+def stride_params(stride: float) -> tuple:
+    """(W, C) for a key stream advancing ~``stride`` positions per element
+    (e.g. directory head positions: stride = rows per distinct key).
+
+    C is pinned at 1024 (the kernel's (8, 128) block floor); W grows to
+    keep C * stride <= W, up to 8x -- the kernel's cost is linear in W, so
+    past stride ~8 the windowed lookup loses to the serialized gather and
+    the coverage check routes to the fallback anyway."""
+    C = DEFAULT_C
+    need = int(C * max(stride, 1.0))
+    W = DEFAULT_W
+    while W < need and W < 8192:
+        W *= 2
+    return W, C
 
 
 def _sort_probes(pk: jax.Array):
