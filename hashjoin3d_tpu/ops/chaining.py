@@ -330,6 +330,39 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
     row = jnp.arange(n, dtype=I32)
     groups = compact_group_index(keys, skey, srow, cap)
 
+    if not early_exit_index and 2 * cap <= n:
+        # Full-chain-walk probes read only bucket_len.  The histogram over
+        # ROWS equals the per-bucket sum of the distinct keys' group sizes,
+        # so it falls out of the compacted directory with cap-sized ops
+        # (sort + segment sums) -- the 16.8M-row bucket sort this replaces
+        # was ~100 ms of the ee=False build.  Only pays off when the
+        # directory is meaningfully smaller than the row count (duplicate-
+        # heavy builds); near cap == n the cap-sized sort+scan machinery
+        # costs as much as the row sort it replaces.
+        validg = groups.group_len > 0
+        b_g = jnp.where(validg, bucket_of(hash_key(groups.ukey), num_buckets),
+                        num_buckets)
+        bs, ls = lax.sort((b_g, groups.group_len), num_keys=1,
+                          is_stable=True)
+        n_validg = jnp.sum(validg.astype(I32))
+        is_f, _, r_start, r_len = run_boundaries(bs.astype(U32), n_validg)
+        csum = jnp.cumsum(ls.astype(jnp.int64))
+        seg_end = csum[jnp.minimum(r_start + r_len - 1, cap - 1)]
+        seg_before = jnp.where(r_start > 0,
+                               csum[jnp.maximum(r_start - 1, 0)], 0)
+        seg_sum = (seg_end - seg_before).astype(I32)
+        tgt = jnp.where(is_f, bs.astype(I32), num_buckets)
+        bucket_len = (jnp.zeros(num_buckets + 1, I32)
+                      .at[tgt].set(seg_sum, mode="drop")[:num_buckets])
+        bucket_start = (jnp.cumsum(bucket_len) - bucket_len).astype(I32)
+        pos_by_row = jnp.zeros(0, I32)
+        group_min_pos = jnp.zeros(0, I32)
+        group_chain_first = jnp.zeros(0, I32)
+        return _assemble_chaining(groups, bucket_start, bucket_len,
+                                  pos_by_row, group_min_pos,
+                                  group_chain_first, keys, num_buckets,
+                                  dense_direct, key_domain)
+
     h = hash_key(keys)
     b = bucket_of(h, num_buckets)
 
@@ -369,6 +402,17 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
         group_min_pos = jnp.zeros(0, I32)
         group_chain_first = jnp.zeros(0, I32)
 
+    return _assemble_chaining(groups, bucket_start, bucket_len, pos_by_row,
+                              group_min_pos, group_chain_first, keys,
+                              num_buckets, dense_direct, key_domain)
+
+
+def _assemble_chaining(groups, bucket_start, bucket_len, pos_by_row,
+                       group_min_pos, group_chain_first, keys, num_buckets,
+                       dense_direct, key_domain):
+    from .layout import key_direct_index
+
+    n = keys.shape[0]
     direct = None
     direct_shift = 0
     if dense_direct:
