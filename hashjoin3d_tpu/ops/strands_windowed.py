@@ -270,7 +270,11 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
 
     gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
     p, within, valid, total, = expand(glen, out_size)[:4]
-    gst = safe_lookup(gstart_by_p, p).astype(I32)
+    # p-keyed lookups advance by ~P/out_size per output slot: widen the
+    # window accordingly (stride > ~2 would otherwise fail coverage and
+    # fall back to the serialized gather)
+    Wp, Cp = stride_params(P / out_size)
+    gst = safe_lookup(gstart_by_p, p, W=Wp, C=Cp).astype(I32)
     # ascending within-group emission: group_rows positions stay globally
     # near-contiguous so the windowed lookup always covers (the LIFO
     # emission offsets of emit_pos() would spread a chunk across a whole
@@ -281,7 +285,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     if probes_iota:
         probe_row = p
     else:
-        probe_row = safe_lookup(srow, p).astype(I32)
+        probe_row = safe_lookup(srow, p, W=Wp, C=Cp).astype(I32)
     return dict(
         probe_row=jnp.where(valid, probe_row, -1),
         build_row=jnp.where(valid, build_row, -1),
@@ -320,22 +324,26 @@ def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     c_rt_cmp = jnp.sum(pos1_t.astype(jnp.int64)) + miss_t
 
     # Unnest #1 (T): one row per T duplicate of rows surviving both probes
+    P = sk.shape[0]
+    W1, C1 = stride_params(P / out1)       # p1 advances ~P/out1 per slot
+    W2, C2 = stride_params(out1 / out2)    # p2 advances ~out1/out2 per slot
     t_counts = jnp.where(both, glen_t, 0)
     gstart_t_by_p = safe_lookup(tbl_t.groups.group_start, g_t).astype(I32)
     p1, w1, v1, n_un1 = expand(t_counts, out1)[:4]
-    gst_t = safe_lookup(gstart_t_by_p, p1).astype(I32)
+    gst_t = safe_lookup(gstart_t_by_p, p1, W=W1, C=C1).astype(I32)
     t_row = safe_lookup(tbl_t.groups.group_rows, gst_t + w1).astype(I32)
 
     # Unnest #2 (S): expand each (r, t_row) by the S group
     glen_s_m = jnp.where(both, glen_s, 0)
-    s_counts = jnp.where(v1, safe_lookup(glen_s_m, p1).astype(I32), 0)
+    s_counts = jnp.where(v1, safe_lookup(glen_s_m, p1,
+                                         W=W1, C=C1).astype(I32), 0)
     gstart_s_by_p = safe_lookup(tbl_s.groups.group_start, g_s).astype(I32)
-    gst_s_by_p1 = safe_lookup(gstart_s_by_p, p1).astype(I32)
+    gst_s_by_p1 = safe_lookup(gstart_s_by_p, p1, W=W1, C=C1).astype(I32)
     p2, w2, v2, n_un2 = expand(s_counts, out2)[:4]
-    gst_s = safe_lookup(gst_s_by_p1, p2).astype(I32)
+    gst_s = safe_lookup(gst_s_by_p1, p2, W=W2, C=C2).astype(I32)
     s_row = safe_lookup(tbl_s.groups.group_rows, gst_s + w2).astype(I32)
-    t_prop = safe_lookup(t_row, p2).astype(I32)
-    r_prop = safe_lookup(p1, p2).astype(I32)  # p1 IS the probe row (iota)
+    t_prop = safe_lookup(t_row, p2, W=W2, C=C2).astype(I32)
+    r_prop = safe_lookup(p1, p2, W=W2, C=C2).astype(I32)  # p1 IS the R row
 
     return dict(
         r_row=jnp.where(v2, r_prop, -1),
@@ -373,15 +381,19 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
         tbl_s.bucket_len, bs_sorted.astype(I32)).astype(jnp.int64))
 
     # materialize RS pairs (expansion #1)
+    P = sk.shape[0]
+    W1, C1 = stride_params(P / out1)
+    W2, C2 = stride_params(out1 / out2)
     gstart_s_by_p = safe_lookup(tbl_s.groups.group_start, g_s).astype(I32)
     p1, w1, v1, n_rs = expand(glen_s, out1)[:4]
-    gst_s = safe_lookup(gstart_s_by_p, p1).astype(I32)
+    gst_s = safe_lookup(gstart_s_by_p, p1, W=W1, C=C1).astype(I32)
     s_row = safe_lookup(tbl_s.groups.group_rows, gst_s + w1).astype(I32)
 
     # each PAIR probes T with the pair's R key == p1 (keys are the iota)
     g_t_by_p = safe_lookup((tbl_t.key_direct + 1).view(U32), sk).astype(I32) - 1
     glen_t_by_p = safe_lookup(tbl_t.groups.group_len, g_t_by_p).astype(I32)
-    t_counts = jnp.where(v1, safe_lookup(glen_t_by_p, p1).astype(I32), 0)
+    t_counts = jnp.where(v1, safe_lookup(glen_t_by_p, p1,
+                                         W=W1, C=C1).astype(I32), 0)
     c_rt = jnp.sum(t_counts.astype(jnp.int64))
     cbk_t = safe_lookup(tbl_t.bucket_len,
                         bucket_of(hash_key(jnp.arange(
@@ -391,16 +403,17 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     # over the sorted pair-key stream p1 (keys are iota => key == p1)
     cmps_t_by_key = safe_lookup(cbk_t, sk).astype(I32)
     c_rt_cmp = jnp.sum(jnp.where(
-        v1, safe_lookup(cmps_t_by_key, p1).astype(I32), 0).astype(jnp.int64))
+        v1, safe_lookup(cmps_t_by_key, p1,
+                        W=W1, C=C1).astype(I32), 0).astype(jnp.int64))
 
     # expansion #2: one output per T duplicate of each pair
     gstart_t_by_p = safe_lookup(tbl_t.groups.group_start, g_t_by_p).astype(I32)
-    gst_t_by_p1 = safe_lookup(gstart_t_by_p, p1).astype(I32)
+    gst_t_by_p1 = safe_lookup(gstart_t_by_p, p1, W=W1, C=C1).astype(I32)
     p2, w2, v2, n_rst = expand(t_counts, out2)[:4]
-    gst_t = safe_lookup(gst_t_by_p1, p2).astype(I32)
+    gst_t = safe_lookup(gst_t_by_p1, p2, W=W2, C=C2).astype(I32)
     t_row = safe_lookup(tbl_t.groups.group_rows, gst_t + w2).astype(I32)
-    s_prop = safe_lookup(s_row, p2).astype(I32)
-    r_prop = safe_lookup(p1, p2).astype(I32)
+    s_prop = safe_lookup(s_row, p2, W=W2, C=C2).astype(I32)
+    r_prop = safe_lookup(p1, p2, W=W2, C=C2).astype(I32)
 
     return dict(
         r_row=jnp.where(v2, r_prop, -1),
@@ -464,9 +477,10 @@ def keydirect_chaining_strand_sorted(table, pk, out_size):
 
     gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
     p, within, valid, total = expand(glen, out_size)[:4]
-    gst = safe_lookup(gstart_by_p, p).astype(I32)
+    Wp, Cp = stride_params(pk.shape[0] / out_size)
+    gst = safe_lookup(gstart_by_p, p, W=Wp, C=Cp).astype(I32)
     build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
-    probe_row = safe_lookup(srow, p).astype(I32)
+    probe_row = safe_lookup(srow, p, W=Wp, C=Cp).astype(I32)
     return dict(
         probe_row=jnp.where(valid, probe_row, -1),
         build_row=jnp.where(valid, build_row, -1),
