@@ -189,7 +189,11 @@ def join(build_keys, probe_keys, how: str = "nested",
     #   keydirect strand.  The domain is inferred from max(build_keys) when
     #   the caller gave no hint and the domain is not too sparse (<= 4x the
     #   build rows: a sparser key_direct wastes HBM for few hits).
-    narrow = bk.dtype.itemsize == 4 and pk.dtype.itemsize == 4
+    # 32-bit UNSIGNED keys only: signed columns canonicalize negatives to
+    # huge u32 values (beyond any inferred domain) and u64 keys would be
+    # truncated by the u32 windowed strands
+    narrow = bk.dtype.kind == "u" and bk.dtype.itemsize == 4 \
+        and pk.dtype.kind == "u" and pk.dtype.itemsize == 4
     if key_domain is None and narrow:
         dom = int(bk.max()) + 1
         if dom <= 4 * bk.size:
@@ -223,7 +227,7 @@ def join(build_keys, probe_keys, how: str = "nested",
     else:
         table = build_nested_host(bk, num_buckets, n_keys=n_keys,
                                   key_domain=key_domain)
-        if table.key_direct is not None:
+        if table.key_direct is not None and narrow:
             # windowed keydirect strand: one sizing sync, then the fused
             # probe+unnest pipeline (PERF.md: 25-47x the reference at 16.8M)
             from .ops.strands_windowed import keydirect_nested_strand_sorted

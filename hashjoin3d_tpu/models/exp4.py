@@ -407,7 +407,6 @@ class Experiment4:
             durs["probe"] += t3 - t2
             durs["total"] += t3 - t0
             state["out"] = out
-            state["tbl_s"], state["tbl_t"] = tbl_s, tbl_t
 
         # compile outside the timed region (see exp1); free the warm-up
         # tables before timing -- holding them across the loop inflates HBM
@@ -417,6 +416,11 @@ class Experiment4:
         fence(ws)
         fence(wt)
         fence(probe_fn(ws, wt, self._rk))
+        # memory snapshot from the warm-up tables: keeping per-rep tables
+        # in `state` would hold the previous rep's tables alive while the
+        # next rep builds (2x table HBM inside the timed loop)
+        state["mem_s"] = ws.memory_consumption()
+        state["mem_t"] = wt.memory_consumption()
         del ws, wt
 
         _, reps = repeat_mintime(self.min_runtime_s, once,
@@ -428,10 +432,9 @@ class Experiment4:
                   f"probe {durs['probe']/reps*1e3:.3f} ms, c_top {int(out['c_top'])}")
             # the reference's per-table node-sizeof dump
             # (main_experiment4.cc:907-910, :1015-1016) -- actual HBM bytes
-            for label in ("tbl_s", "tbl_t"):
-                mem = state[label].memory_consumption()
+            for label in ("mem_s", "mem_t"):
                 print(f"  {label[-1].upper()}: ht memory: " + ", ".join(
-                    f"{k} {v:,}" for k, v in mem.items()) + " bytes")
+                    f"{k} {v:,}" for k, v in state[label].items()) + " bytes")
 
         self._write_params()
         self.csv.write_fields(

@@ -182,15 +182,22 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     return out
 
 
-def _keydirect_probe(table, sk, skey_u32):
+def _keydirect_probe(table, sk, skey_u32, g=None, live=None):
     """Shared windowed key_direct probe: sorted keys -> (g, hit, glen,
-    pos1, miss_cmps) with -1/0 miss markers throughout."""
-    g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+    pos1, miss_cmps) with -1/0 miss markers throughout.
+
+    ``g`` short-circuits the key_direct lookup when the caller already has
+    the group-id stream (iota/permutation probes: the key_direct image
+    itself); ``live`` gates dead (padded) rows out of the miss count.
+    """
+    if g is None:
+        g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
     hit = g >= 0
     glen = safe_lookup(table.groups.group_len, g).astype(I32)
     pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32), g).astype(I32)
+    miss = (~hit) if live is None else (live & ~hit)
     miss_cmps = _miss_chain_cmps(table.bucket_main_len, table.num_buckets,
-                                 skey_u32, ~hit)
+                                 skey_u32, miss)
     return g, hit, glen, pos1, miss_cmps
 
 
@@ -240,25 +247,13 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         # keys are exactly [0, P): the key_direct image IS the g stream
         kd = table.key_direct
         dom = kd.shape[0]
-        if P <= dom:
-            g = kd[:P]
-        else:
-            g = jnp.concatenate([kd, jnp.full(P - dom, -1, I32)])
-        hit = g >= 0
-        glen = safe_lookup(table.groups.group_len, g).astype(I32)
-        pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32),
-                           g).astype(I32)
-        miss_cmps = _miss_chain_cmps(table.bucket_main_len,
-                                     table.num_buckets, skey, ~hit)
+        g0 = (kd[:P] if P <= dom
+              else jnp.concatenate([kd, jnp.full(P - dom, -1, I32)]))
+        g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey,
+                                                         g=g0)
     else:
-        g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
-        hit = g >= 0
-        glen = safe_lookup(table.groups.group_len, g).astype(I32)
-        pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32),
-                           g).astype(I32)
-        miss_mask = (~hit) if live_s is None else (live_s & ~hit)
-        miss_cmps = _miss_chain_cmps(table.bucket_main_len,
-                                     table.num_buckets, skey, miss_mask)
+        g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey,
+                                                         live=live_s)
     m = jnp.sum(hit.astype(jnp.int64))
     cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
 
@@ -395,10 +390,12 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     t_counts = jnp.where(v1, safe_lookup(glen_t_by_p, p1,
                                          W=W1, C=C1).astype(I32), 0)
     c_rt = jnp.sum(t_counts.astype(jnp.int64))
-    cbk_t = safe_lookup(tbl_t.bucket_len,
-                        bucket_of(hash_key(jnp.arange(
-                            tbl_t.key_direct.shape[0], dtype=U32)),
-                            tbl_t.num_buckets).astype(I32))
+    # per-key full T-chain length: the bucket stream of the iota keys is
+    # hash-ordered (random), so a windowed attempt could never cover --
+    # use the plain gather (domain-sized, one-time per strand)
+    b_dom = bucket_of(hash_key(jnp.arange(tbl_t.key_direct.shape[0],
+                                          dtype=U32)), tbl_t.num_buckets)
+    cbk_t = tbl_t.bucket_len[b_dom]
     # per-pair full T-chain walk: chain length of the pair's key, windowed
     # over the sorted pair-key stream p1 (keys are iota => key == p1)
     cmps_t_by_key = safe_lookup(cbk_t, sk).astype(I32)

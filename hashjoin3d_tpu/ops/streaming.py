@@ -58,6 +58,10 @@ def stream_probe_chaining(table, probe_keys_host, chunk_size: int = 1 << 22,
     bit-equal to a whole-column probe.  Requires a dense-direct table (the
     windowed strand layout).
     """
+    if not unique and getattr(table, "chain_by_key", None) is None:
+        raise ValueError(
+            "stream_probe_chaining(unique=False) counts full chain walks "
+            "per probe: build the table with full_chain_index=True")
     pk = np.asarray(probe_keys_host)
     n = pk.shape[0]
     n_chunks = max(1, -(-n // chunk_size))

@@ -135,7 +135,7 @@ def main():
         bytes_moved=4 * n * 4)
 
     # -- Pallas windowed lookup ------------------------------------------------
-    for W in (512, 1024, 2048):
+    for W in (1024, 2048):
         ok = bool(windowed_coverage_ok(idx_sorted, T, W=W))
         if not ok:
             print(f"windowed W={W}: coverage FAILED (spread too wide)",
