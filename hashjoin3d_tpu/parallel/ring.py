@@ -48,7 +48,8 @@ from .shuffle import partition_exchange
 def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                           build_capacity: int, out_capacity: int,
                           step_out_capacity: int | None = None,
-                          axis: str = SHARD_AXIS, prefetch: bool = True):
+                          axis: str = SHARD_AXIS, prefetch: bool = True,
+                          key_domain: int | None = None):
     """Build a jitted ring-scheduled distributed 3D hash join step.
 
     Returns ``step(build_keys, probe_keys) -> dict`` (same contract as
@@ -67,7 +68,9 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
     scheduler can run the hop concurrently with the probe (measured in
     tools/overlap_bench.py; PERF.md "Exchange/compute overlap").
     ``prefetch=False`` keeps the strictly sequential probe->hop order for
-    comparison.
+    comparison.  ``key_domain`` (static key bound, when known) switches each
+    visit's local probe to the windowed sorted strand, exactly as in
+    ``dist_nested_join``.
     """
     ns = mesh.shape[axis]
     step_cap = out_capacity if step_out_capacity is None else step_out_capacity
@@ -81,7 +84,8 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
             ns, build_capacity)
-        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid)
+        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
+                             key_domain=key_domain)
 
         # Probe side: the local chunk starts at home and rides the ring.
         vkeys = probe_keys
@@ -102,8 +106,19 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                 # the probe below instead of serializing after it
                 nkeys = lax.ppermute(vkeys, axis, fwd)
                 nrow = lax.ppermute(vrow, axis, fwd)
-            res = probe_nested(table, vkeys)
-            prow_l, brow_l, ovalid, total = unnest(table, res, step_cap)
+            if key_domain is not None:
+                from ..ops.strands_windowed import (
+                    keydirect_nested_strand_sorted)
+                out_k = keydirect_nested_strand_sorted(table, vkeys, step_cap)
+                prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
+                ovalid = prow_l >= 0
+                total = out_k["c_unnest"]
+                step_matches, step_cmps = out_k["c_htProbe"], \
+                    out_k["c_htProbeCmp"]
+            else:
+                res = probe_nested(table, vkeys)
+                prow_l, brow_l, ovalid, total = unnest(table, res, step_cap)
+                step_matches, step_cmps = res.num_matches, res.num_cmps
             prow_g = vrow[jnp.maximum(prow_l, 0)]
             brow_g = bpay["row"][jnp.maximum(brow_l, 0)]
 
@@ -122,8 +137,8 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             offset = offset + materialized
             step_dropped = step_dropped + (total - materialized)
             unnested = unnested + total
-            matches = matches + res.num_matches
-            cmps = cmps + res.num_cmps
+            matches = matches + step_matches
+            cmps = cmps + step_cmps
 
             if k + 1 < ns:  # forward the chunk to the ring neighbor
                 if prefetch:
@@ -151,5 +166,7 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
+    # see dist_join.dist_nested_join: the pallas strand trips the vma checker
+    kwargs = dict(check_vma=False) if key_domain is not None else {}
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out))
+                             out_specs=specs_out, **kwargs))

@@ -535,3 +535,27 @@ def test_dist_join_windowed_probe_matches_default(mesh):
     for k in ("num_matches", "num_cmps", "num_unnested"):
         assert int(win[k]) == int(base[k]), k
     assert _pairs(win) == _pairs(base) == _oracle_pairs(bk, pk)
+
+
+def test_ring_join_windowed_probe_matches_default(mesh):
+    """Ring join with the windowed local probe (key_domain) == default."""
+    from hashjoin3d_tpu.parallel import dist_ring_nested_join
+
+    rng = np.random.default_rng(79)
+    n_b, n_p = 1024, 2048
+    bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    bk_d, pk_d = jax.device_put(bk, sh), jax.device_put(pk, sh)
+
+    base = dist_ring_nested_join(
+        mesh, num_buckets_per_shard=64, build_capacity=n_b,
+        out_capacity=16 * n_p, step_out_capacity=8 * n_p)(bk_d, pk_d)
+    win = dist_ring_nested_join(
+        mesh, num_buckets_per_shard=64, build_capacity=n_b,
+        out_capacity=16 * n_p, step_out_capacity=8 * n_p,
+        key_domain=600)(bk_d, pk_d)
+    assert int(win["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(win[k]) == int(base[k]), k
+    assert _pairs(win) == _pairs(base) == _oracle_pairs(bk, pk)
