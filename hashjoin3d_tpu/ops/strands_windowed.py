@@ -41,7 +41,7 @@ from jax import lax
 
 from .hashing import bucket_of, hash_key
 from .layout import I32, U32, expand
-from .windowed import (DEFAULT_C, DEFAULT_W, chunk_bases, windowed_lookup,
+from .windowed import (DEFAULT_C, DEFAULT_W, windowed_lookup,
                        windowed_coverage_ok)
 
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from hashjoin3d_tpu.ops.windowed import (
     windowed_lookup, windowed_coverage_ok)
-from hashjoin3d_tpu.utils.measure import fence, repeat_mintime
+from hashjoin3d_tpu.utils.measure import fence
 
 HBM_GBS = 819.0  # v5e HBM bandwidth (public spec: 16 GB @ 819 GB/s)
 
