@@ -138,13 +138,14 @@ def hier_exchange(keys: jax.Array, payload_rows: jax.Array,
 
 def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
                         build_capacity: int, probe_capacity: int,
-                        out_capacity: int):
+                        out_capacity: int, key_domain: int | None = None):
     """Distributed 3D join over a (host, chip) mesh with hierarchical exchange.
 
     Same output contract as ``dist_join.dist_nested_join``; the only
     difference is the two-hop routing.  ``*_capacity`` are per-hop, per-group
     bounds (the DCN hop uses 2x the per-group bound: a chip column aggregates
-    a whole host's rows for each destination host).
+    a whole host's rows for each destination host).  ``key_domain`` enables
+    the windowed shard-local probe, as in the flat join.
     """
     n_hosts = mesh.shape[HOST_AXIS]
     n_chips = mesh.shape[CHIP_AXIS]
@@ -161,14 +162,24 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
         bkeys, brows, bvalid, bovf = hier_exchange(
             build_keys, grows(nb_local), n_hosts, n_chips,
             build_capacity, 2 * build_capacity)
-        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid)
+        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
+                             key_domain=key_domain)
 
         pkeys, prows, pvalid, povf = hier_exchange(
             probe_keys, grows(np_local), n_hosts, n_chips,
             probe_capacity, 2 * probe_capacity)
-        res = probe_nested(table, pkeys, mask=pvalid)
-
-        prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
+        if key_domain is not None:
+            from ..ops.strands_windowed import keydirect_nested_strand_sorted
+            out_k = keydirect_nested_strand_sorted(
+                table, pkeys, out_capacity, mask=pvalid)
+            prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
+            ovalid = prow_l >= 0
+            total = out_k["c_unnest"]
+            n_matches, n_cmps = out_k["c_htProbe"], out_k["c_htProbeCmp"]
+        else:
+            res = probe_nested(table, pkeys, mask=pvalid)
+            prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
+            n_matches, n_cmps = res.num_matches, res.num_cmps
         probe_row = jnp.where(ovalid, prows[jnp.maximum(prow_l, 0)], -1)
         build_row = jnp.where(ovalid, brows[jnp.maximum(brow_l, 0)], -1)
 
@@ -176,8 +187,8 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
             return lax.psum(lax.psum(x, CHIP_AXIS), HOST_AXIS)
 
         return dict(
-            num_matches=allsum(res.num_matches),
-            num_cmps=allsum(res.num_cmps),
+            num_matches=allsum(n_matches),
+            num_cmps=allsum(n_cmps),
             num_unnested=allsum(total),
             overflow=bovf + povf,
             probe_row=probe_row,
@@ -192,5 +203,7 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
         build_row=P((HOST_AXIS, CHIP_AXIS)),
         out_valid=P((HOST_AXIS, CHIP_AXIS)),
     )
+    # see dist_join.dist_nested_join: the pallas strand trips the vma checker
+    kwargs = dict(check_vma=False) if key_domain is not None else {}
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out))
+                             out_specs=specs_out, **kwargs))

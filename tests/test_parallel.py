@@ -559,3 +559,28 @@ def test_ring_join_windowed_probe_matches_default(mesh):
     for k in ("num_matches", "num_cmps", "num_unnested"):
         assert int(win[k]) == int(base[k]), k
     assert _pairs(win) == _pairs(base) == _oracle_pairs(bk, pk)
+
+
+def test_hier_2d_join_windowed_probe_matches_default(mesh):
+    """2D hierarchical join with the windowed local probe == default."""
+    from hashjoin3d_tpu.parallel import dist_nested_join_2d, make_mesh_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(83)
+    n_b, n_p = 1024, 2048
+    bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    mesh2 = make_mesh_2d(2, 4)
+    sh2 = NamedSharding(mesh2, P(("host", "chip")))
+    args = (jax.device_put(bk, sh2), jax.device_put(pk, sh2))
+
+    base = dist_nested_join_2d(mesh2, num_buckets_per_shard=64,
+                               build_capacity=n_b, probe_capacity=n_p,
+                               out_capacity=16 * n_p)(*args)
+    win = dist_nested_join_2d(mesh2, num_buckets_per_shard=64,
+                              build_capacity=n_b, probe_capacity=n_p,
+                              out_capacity=16 * n_p, key_domain=600)(*args)
+    assert int(win["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(win[k]) == int(base[k]), k
+    assert _pairs(win) == _pairs(base) == _oracle_pairs(bk, pk)
