@@ -138,16 +138,20 @@ def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
     return int(occ.max()) < (1 << (32 - shift))
 
 
-@partial(jax.jit, static_argnames=("num_buckets", "dense_direct"))
+@partial(jax.jit, static_argnames=("num_buckets", "dense_direct",
+                                   "key_domain"))
 def build_chaining(keys: jax.Array, num_buckets: int,
                    valid: jax.Array | None = None,
-                   dense_direct: bool = False) -> ChainingTable:
+                   dense_direct: bool = False,
+                   key_domain: int | None = None) -> ChainingTable:
     """Build the chaining table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgHashJoinBuild::step``
     (``algebra.hh:574-577``) -- but as two sorts + histograms instead of n
     pointer insertions into a ``Reservoir`` arena.  ``valid`` marks live rows
-    (padded shuffle outputs / filtered batches).
+    (padded shuffle outputs / filtered batches).  ``key_domain`` adds the
+    dense key->group index (usable inside shard_map, unlike the host
+    builds), enabling the windowed probe strands on distributed shards.
     """
     keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
@@ -198,7 +202,12 @@ def build_chaining(keys: jax.Array, num_buckets: int,
                                     << jnp.uint32(direct_shift))
         direct = jnp.zeros(n, U32).at[keys].set(packed)
 
+    from .layout import key_direct_index
+    key_direct = (key_direct_index(groups, key_domain)
+                  if key_domain is not None and not dense_direct else None)
+
     return ChainingTable(
+        key_direct=key_direct,
         groups=groups,
         bucket_start=bucket_start,
         bucket_len=bucket_len,

@@ -447,36 +447,75 @@ def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
     )
 
 
-@partial(jax.jit, static_argnames=("out_size",))
-def keydirect_chaining_strand_sorted(table, pk, out_size):
-    """Windowed Crs probe strand (key_direct chaining table, no early exit,
-    ``algebra.hh:625-659`` without the break).
+@partial(jax.jit, static_argnames=("out_size", "unique"))
+def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
+                                     mask=None):
+    """Windowed Crs-style probe strand (key_direct chaining table,
+    ``algebra.hh:625-659``).
 
-    Every probe walks its full bucket chain (comparisons) and emits its
-    whole key group (matches); the expansion machinery is the nested
-    strand's, with chaining counter semantics.  The bucket stream for the
-    comparison count is hash-ordered, so it gets its own sort + windowed
-    pass (still ~3x cheaper than the serialized gather at 1M probes).
+    ``unique=False``: every probe walks its full bucket chain
+    (comparisons) and emits its whole key group (matches).
+    ``unique=True`` (IsBuildKeyUnique): comparisons stop at the first
+    match in chain order and at most one pair is emitted per probe
+    (``group_chain_first`` / ``group_min_pos``, as in probe_chaining).
+    ``mask`` marks live probe rows (padded shuffle outputs inside
+    shard_map).  Emission rides the nested strand's expansion machinery;
+    the comparison count's bucket stream is hash-ordered, so it gets its
+    own sort + windowed pass.
     """
-    skey, srow = _sort_probes(pk)
+    P = pk.shape[0]
+    if mask is not None:
+        pk_m = jnp.where(mask, pk.astype(U32), jnp.uint32(0xFFFFFFFF))
+        skey, live_s, srow = lax.sort(
+            (pk_m, mask.astype(I32), jnp.arange(P, dtype=I32)), num_keys=1)
+        live_s = live_s > 0
+    else:
+        skey, srow = _sort_probes(pk)
+        live_s = None
     sk = skey.astype(I32)
 
     g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+    hit = g >= 0
     glen = safe_lookup(table.groups.group_len, g).astype(I32)
-    m = jnp.sum(glen.astype(jnp.int64))
 
-    # full-chain comparisons for every probe: bucket chain lengths, summed
-    # over the sorted bucket-id stream
-    b = bucket_of(hash_key(skey), table.num_buckets)
-    b_sorted = lax.sort((b.astype(U32),), num_keys=1)[0]
-    cmps = jnp.sum(safe_lookup(
-        table.bucket_len, b_sorted.astype(I32)).astype(jnp.int64))
+    if unique:
+        if table.group_min_pos.shape[0] == 0:
+            raise ValueError(
+                "table was built with early_exit_index=False; "
+                "IsBuildKeyUnique probes need the chain-position index")
+        counts = hit.astype(I32)
+        m = jnp.sum(hit.astype(jnp.int64))
+        pos1 = safe_lookup((table.group_min_pos + 1).view(U32),
+                           g).astype(I32)
+        miss = (~hit) if live_s is None else (live_s & ~hit)
+        miss_cmps = _miss_chain_cmps(table.bucket_len, table.num_buckets,
+                                     skey, miss)
+        cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
+        # emission source: the first matching row in chain order
+        row_by_p = safe_lookup((table.group_chain_first + 1).view(U32),
+                               g).astype(I32) - 1
+    else:
+        counts = glen
+        m = jnp.sum(glen.astype(jnp.int64))
+        # full-chain comparisons for every LIVE probe: bucket chain
+        # lengths, summed over the sorted bucket-id stream
+        b = bucket_of(hash_key(skey), table.num_buckets).astype(I32)
+        if live_s is not None:
+            b = jnp.where(live_s, b, -1)
+        b_sorted = lax.sort((b,), num_keys=1)[0]
+        cmps = jnp.sum(safe_lookup(
+            table.bucket_len, b_sorted).astype(jnp.int64))
+        row_by_p = None
 
     gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
-    p, within, valid, total = expand(glen, out_size)[:4]
-    Wp, Cp = stride_params(pk.shape[0] / out_size)
-    gst = safe_lookup(gstart_by_p, p, W=Wp, C=Cp).astype(I32)
-    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
+    p, within, valid, total = expand(counts, out_size)[:4]
+    Wp, Cp = stride_params(P / out_size)
+    if unique:
+        build_row = safe_lookup(row_by_p, p, W=Wp, C=Cp).astype(I32)
+    else:
+        gst = safe_lookup(gstart_by_p, p, W=Wp, C=Cp).astype(I32)
+        build_row = safe_lookup(table.groups.group_rows,
+                                gst + within).astype(I32)
     probe_row = safe_lookup(srow, p, W=Wp, C=Cp).astype(I32)
     return dict(
         probe_row=jnp.where(valid, probe_row, -1),

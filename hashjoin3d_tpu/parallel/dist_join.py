@@ -123,8 +123,10 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
 def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
                        build_capacity: int, probe_capacity: int,
                        out_capacity: int, unique: bool = False,
-                       axis: str = SHARD_AXIS):
-    """Distributed chaining hash join; see :func:`dist_nested_join`."""
+                       axis: str = SHARD_AXIS,
+                       key_domain: int | None = None):
+    """Distributed chaining hash join; see :func:`dist_nested_join`
+    (``key_domain`` likewise enables the windowed shard-local probe)."""
     ns = mesh.shape[axis]
 
     def step(build_keys, probe_keys):
@@ -134,21 +136,33 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
             ns, build_capacity)
-        table = build_chaining(bkeys, num_buckets_per_shard, valid=bvalid)
+        table = build_chaining(bkeys, num_buckets_per_shard, valid=bvalid,
+                               key_domain=key_domain)
 
         pkeys, ppay, pvalid, povf = partition_exchange(
             axis, probe_keys, {"row": _global_rows(np_local, axis)},
             ns, probe_capacity)
-        res = probe_chaining(table, pkeys, unique=unique, mask=pvalid)
 
-        prow_l, brow_l, ovalid, total = materialize_chaining_join(
-            table, res, out_capacity, unique=unique)
+        if key_domain is not None:
+            from ..ops.strands_windowed import (
+                keydirect_chaining_strand_sorted)
+            out_k = keydirect_chaining_strand_sorted(
+                table, pkeys, out_capacity, unique=unique, mask=pvalid)
+            prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
+            ovalid = prow_l >= 0
+            total = out_k["total"]
+            n_matches, n_cmps = out_k["c_htProbe"], out_k["c_htProbeCmp"]
+        else:
+            res = probe_chaining(table, pkeys, unique=unique, mask=pvalid)
+            prow_l, brow_l, ovalid, total = materialize_chaining_join(
+                table, res, out_capacity, unique=unique)
+            n_matches, n_cmps = res.num_matches, res.num_cmps
         probe_row = jnp.where(ovalid, ppay["row"][jnp.maximum(prow_l, 0)], -1)
         build_row = jnp.where(ovalid, bpay["row"][jnp.maximum(brow_l, 0)], -1)
 
         return dict(
-            num_matches=lax.psum(res.num_matches, axis),
-            num_cmps=lax.psum(res.num_cmps, axis),
+            num_matches=lax.psum(n_matches, axis),
+            num_cmps=lax.psum(n_cmps, axis),
             num_results=lax.psum(total, axis),
             overflow=bovf + povf,
             probe_row=probe_row,
@@ -161,8 +175,10 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
         num_matches=P(), num_cmps=P(), num_results=P(), overflow=P(),
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
+    # see dist_nested_join: the pallas strand trips the vma checker
+    kwargs = dict(check_vma=False) if key_domain is not None else {}
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out))
+                             out_specs=specs_out, **kwargs))
 
 
 def dist_nested_join_chunked(mesh: Mesh, num_buckets_per_shard: int,

@@ -584,3 +584,32 @@ def test_hier_2d_join_windowed_probe_matches_default(mesh):
     for k in ("num_matches", "num_cmps", "num_unnested"):
         assert int(win[k]) == int(base[k]), k
     assert _pairs(win) == _pairs(base) == _oracle_pairs(bk, pk)
+
+
+@pytest.mark.parametrize("unique", [False, True])
+def test_dist_chaining_windowed_probe_matches_default(mesh, unique):
+    """Chaining dist join with the windowed local probe == default path,
+    both unique (early-exit) and full-chain modes."""
+    from hashjoin3d_tpu.parallel import dist_chaining_join
+
+    rng = np.random.default_rng(91)
+    n_b, n_p = 1024, 2048
+    if unique:
+        bk = rng.permutation(2048)[:n_b].astype(np.uint32)
+    else:
+        bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600 if not unique else 2048, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    args = (jax.device_put(bk, sh), jax.device_put(pk, sh))
+
+    base = dist_chaining_join(mesh, num_buckets_per_shard=64,
+                              build_capacity=n_b, probe_capacity=n_p,
+                              out_capacity=16 * n_p, unique=unique)(*args)
+    win = dist_chaining_join(mesh, num_buckets_per_shard=64,
+                             build_capacity=n_b, probe_capacity=n_p,
+                             out_capacity=16 * n_p, unique=unique,
+                             key_domain=2048)(*args)
+    assert int(win["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_results"):
+        assert int(win[k]) == int(base[k]), k
+    assert _pairs(win) == _pairs(base)
