@@ -626,8 +626,8 @@ def materialize_chaining_join(
         from .layout import emit_pos
         gstart_by_probe = table.groups.group_start[probe.g]
         p, within, valid, tot, gstart, glen_o = expand(
-            probe.match_count, out_size,
-            (gstart_by_probe, probe.match_count))
+            probe.match_count, out_size, (gstart_by_probe,),
+            with_seg_len=True)
         build_row = table.groups.group_rows[
             gstart + emit_pos(within, glen_o)]
         return (jnp.where(valid, p, -1), jnp.where(valid, build_row, -1),

@@ -426,7 +426,8 @@ def sorted_histogram(b_sorted: jax.Array, num_buckets: int,
     return bstart, blen
 
 
-def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
+def expand(counts: jax.Array, out_size: int, payloads: tuple = (),
+           with_seg_len: bool = False):
     """Variable-count segment expansion to a static-size output buffer.
 
     Maps output slot j to (segment p, position-within-segment, valid).  This is
@@ -454,7 +455,14 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
       count P is comparatively tiny; measured end-to-end (exp-1 Nrs probe
       strand) the packed path wins by ~30%.
 
-    Returns ``(p, within, valid, total, *propagated_payloads)``.
+    ``with_seg_len`` appends the expansion segment's length per output slot
+    (== ``counts[p]`` whenever the segment is fully materialized; the last
+    segment of a truncated expansion reports its CUT length).  It costs one
+    reverse scan -- far cheaper than propagating ``counts`` as a payload
+    through the strong-expansion packed path, whose int64 scatter runs
+    ~11-16x an int32 one (the emit_pos consumers need this).
+
+    Returns ``(p, within, valid, total, *propagated_payloads[, seg_len])``.
     """
     counts = counts.astype(I32)
     P = counts.shape[0]
@@ -485,5 +493,16 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = ()):
                 packed, mode="drop")
             prop = lax.cummax(head_pl, 0)
             props.append((prop & jnp.int64((1 << 26) - 1)).astype(I32))
+    if with_seg_len:
+        # next segment's start, filled from the right (capped by the true
+        # total: the LAST segment ends at total, not out_size); its
+        # distance to this segment's start IS the segment length.  One
+        # reverse scan -- always cheaper than an out-sized ~10 ns/elem
+        # gather of counts[p], and ~25x cheaper than an int64 payload.
+        nxt = jnp.where(head_off >= 0, head_off, out_size)
+        nxt = jnp.concatenate([nxt[1:], jnp.array([out_size], I32)])
+        next_start = jnp.minimum(lax.cummin(nxt, 0, reverse=True),
+                                 total.astype(I32))
+        props.append(jnp.maximum(next_start - start, 0))
 
     return (pc, within, valid, total, *props)

@@ -450,8 +450,8 @@ def deferred_two_join_strand(tbl_s: NestedTable, tbl_t: NestedTable,
     t_counts = jnp.where(both, rst.group_len, 0)
     p1, w1, v1, n_unnest1, gst_t, gs1, tlen1 = expand(
         t_counts, out1,
-        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0),
-         t_counts))
+        (tbl_t.groups.group_start[rst.g], jnp.where(both, rs.g, 0)),
+        with_seg_len=True)
     t_row = tbl_t.groups.group_rows[gst_t + emit_pos(w1, tlen1)]
 
     # Unnest #2 unpacks S.
@@ -460,8 +460,8 @@ def deferred_two_join_strand(tbl_s: NestedTable, tbl_t: NestedTable,
         s_counts, out2,
         (tbl_s.groups.group_start[gs1],
          jnp.where(v1, t_row, 0),
-         jnp.where(v1, p1, 0),
-         s_counts))
+         jnp.where(v1, p1, 0)),
+        with_seg_len=True)
     s_row = tbl_s.groups.group_rows[gst_s + emit_pos(w2, slen2)]
 
     return dict(
@@ -503,7 +503,7 @@ def unnest(table: NestedTable, nested: NestedBatch, out_size: int):
     from .layout import emit_pos
     gstart_by_probe = table.groups.group_start[nested.g]
     p, within, valid, total, gstart, glen_o = expand(
-        nested.group_len, out_size, (gstart_by_probe, nested.group_len))
+        nested.group_len, out_size, (gstart_by_probe,), with_seg_len=True)
     build_row = table.groups.group_rows[gstart + emit_pos(within, glen_o)]
     probe_row = jnp.where(valid, p, -1)
     build_row = jnp.where(valid, build_row, -1)
