@@ -74,7 +74,7 @@ def resolve_plan_items(plans, names, bits):
                 pass
             elif item in names:
                 out.add(item)
-            elif item.lstrip("-").isdigit():
+            elif item.isdigit():
                 mask = int(item)
                 out.update(n for n, b in bits.items() if mask & b)
             else:

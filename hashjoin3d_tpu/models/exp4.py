@@ -150,7 +150,7 @@ class Experiment4:
                     out.add("Nnu")
                 elif item in PLAN_NAMES:
                     out.add(item)
-                elif item.lstrip("-").isdigit():
+                elif item.isdigit():
                     # plans_e bits (main_experiment4.cc:158-164)
                     mask = int(item)
                     bits = {"Ndu": 1, "Nnu": 2, "Chj": 4}

@@ -130,7 +130,7 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask):
     try:
         vma = jax.typeof(miss_mask).vma
         if vma:
-            zero = lax.pvary(zero, tuple(vma))
+            zero = lax.pcast(zero, tuple(vma), to="varying")
     except Exception:
         pass
     return lax.cond(n_miss > 0, walk, lambda _: zero, None)

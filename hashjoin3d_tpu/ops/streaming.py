@@ -58,6 +58,10 @@ def stream_probe_chaining(table, probe_keys_host, chunk_size: int = 1 << 22,
     bit-equal to a whole-column probe.  Requires a dense-direct table (the
     windowed strand layout).
     """
+    if getattr(table, "direct", None) is None:
+        raise ValueError(
+            "stream_probe_chaining requires a dense-direct table "
+            "(build with the dense_direct layout)")
     if not unique and getattr(table, "chain_by_key", None) is None:
         raise ValueError(
             "stream_probe_chaining(unique=False) counts full chain walks "

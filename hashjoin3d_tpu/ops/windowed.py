@@ -156,7 +156,7 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
             # i64 and Mosaic rejects the lowered transform -- keep i32
             pl.BlockSpec((C // 128, 128), lambda j, bases: (j, jnp.int32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table: compiler-placed
+            pl.BlockSpec(memory_space=pl.ANY),      # table: compiler-placed
         ],
         out_specs=pl.BlockSpec((C // 128, 128),
                                lambda j, bases: (j, jnp.int32(0)),
@@ -166,15 +166,40 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    # inside shard_map (check_vma mode) the output must declare how it
-    # varies across mesh axes: like the keys input
-    try:
-        vma = jax.typeof(keys_sorted).vma
-    except Exception:
-        vma = None
+    # inside shard_map (check_vma mode) every kernel operand and the output
+    # must agree on how they vary across mesh axes; promote all inputs to
+    # the union vma (e.g. a replicated table probed by per-shard keys) so
+    # callers can keep check_vma=True on the enclosing shard_map
+    table_u32 = table.astype(U32)
+
+    def _vma(x):
+        try:
+            return set(jax.typeof(x).vma)
+        except Exception:
+            return set()
+
+    vma = _vma(keys_sorted) | _vma(table_u32) | _vma(bases)
+    if vma and interpret:
+        # pallas interpret-mode lowers the grid to dynamic_slice with
+        # unvarying loop indices, which check_vma rejects under shard_map
+        # (a JAX interpreter gap).  Use an exact jnp twin of the kernel so
+        # the enclosing shard_map keeps vma checking; compiled TPU runs
+        # still take the kernel.
+        delta = keys_sorted.reshape(-1, C) - bases[:, None]
+        in_window = (delta >= 0) & (delta < 2 * W)
+        safe = jnp.clip(keys_sorted, 0, T - 1)
+        val = jnp.take(table_u32, safe, axis=0)
+        return jnp.where(in_window.reshape(n), val, jnp.uint32(0))
     if vma:
+        def _promote(x):
+            missing = tuple(vma - _vma(x))
+            return (jax.lax.pcast(x, missing, to="varying")
+                    if missing else x)
+        bases = _promote(bases)
+        keys_sorted = _promote(keys_sorted)
+        table_u32 = _promote(table_u32)
         out_shape = jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32,
-                                         vma=vma)
+                                         vma=frozenset(vma))
     else:
         out_shape = jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32)
     out = pl.pallas_call(
@@ -185,7 +210,7 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(bases, keys_sorted.reshape(n // 128, 128),
-      table.astype(U32).reshape(T // 128, 128))
+      table_u32.reshape(T // 128, 128))
     return out.reshape(n)
 
 

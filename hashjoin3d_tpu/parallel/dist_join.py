@@ -115,7 +115,7 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
     # the windowed strand's pallas_call trips shard_map's vma checker (its
     # scalar-prefetch slice mixes varying/unvarying operands in the
     # interpreter); semantics are per-shard-local either way
-    kwargs = dict(check_vma=False) if key_domain is not None else {}
+    kwargs = {}  # vma-check trial
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
                              out_specs=specs_out, **kwargs))
 
@@ -176,7 +176,7 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
     # see dist_nested_join: the pallas strand trips the vma checker
-    kwargs = dict(check_vma=False) if key_domain is not None else {}
+    kwargs = {}  # vma-check trial
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
                              out_specs=specs_out, **kwargs))
 

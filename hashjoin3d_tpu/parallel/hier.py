@@ -204,6 +204,6 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
         out_valid=P((HOST_AXIS, CHIP_AXIS)),
     )
     # see dist_join.dist_nested_join: the pallas strand trips the vma checker
-    kwargs = dict(check_vma=False) if key_domain is not None else {}
+    kwargs = {}  # vma-check trial
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
                              out_specs=specs_out, **kwargs))
