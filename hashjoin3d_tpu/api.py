@@ -103,7 +103,10 @@ HOST_CROSSOVER_ROWS = 2_000_000
 def join(build_keys, probe_keys, how: str = "nested",
          num_buckets: int | None = None, unique: bool = False,
          n_keys: int | None = None, key_domain: int | None = None,
-         backend: str = "auto", mode: str = "inner") -> JoinResult:
+         backend: str = "auto", mode: str = "inner",
+         hashfun="murmur", predicate=None,
+         probe_payload: dict | None = None,
+         build_payload: dict | None = None) -> JoinResult:
     """Equi-join ``probe_keys`` against ``build_keys``; returns row-id pairs.
 
     ``how``: "nested" (3D hash table, ``ht_nested.hh``) or "chaining"
@@ -124,6 +127,25 @@ def join(build_keys, probe_keys, how: str = "nested",
       "semi"   probe rows with >= 1 match, build_rows == -1;
       "anti"   probe rows with no match, build_rows == -1.
     num_matches/num_cmps always describe the underlying probe.
+
+    ``hashfun`` plugs a bucket-assignment functor into the table (the
+    reference's ``Thashfun`` / ``Tprobehashfun`` contract,
+    ``ht_chaining.hh:236-248``, ``ht_nested.hh:355-363``): a
+    ``ops.hashing.HASH_FUNCTORS`` name ("murmur" default, "boncz", "fib",
+    "mult", "identity") or any traceable callable.  The native host engine
+    is murmur-only, so a non-default functor always runs on the device.
+
+    ``predicate`` adds a residual (non-equi) filter over matched pairs
+    (``alg_binary_predicate_c``, ``concepts.hh:49-56``): a callable
+    ``predicate(probe_cols, build_cols) -> bool array`` evaluated on the
+    materialized pairs' payload columns (``probe_payload`` /
+    ``build_payload`` dicts of name -> column).  Divergence from the
+    reference, by design: the reference evaluates the predicate inside the
+    chain walk (``algebra.hh:647-648``), here it post-filters the
+    hash-equality matches -- ``num_matches``/``num_results`` count pairs
+    that SURVIVE the filter, while ``num_cmps`` still counts the underlying
+    hash-chain comparisons (equality is all the reference experiments ever
+    instantiate, so their counters are unaffected).
     """
     if how not in ("nested", "chaining"):
         raise ValueError(f"how must be 'nested' or 'chaining', got {how!r}")
@@ -132,15 +154,24 @@ def join(build_keys, probe_keys, how: str = "nested",
             f"backend must be 'device', 'host' or 'auto', got {backend!r}")
     if mode not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown mode {mode!r}")
+    if hashfun != "murmur" and backend == "host":
+        raise ValueError(
+            "backend='host' supports hashfun='murmur' only (the native "
+            "engine pins murmur); use backend='device'")
 
     bk = np.ascontiguousarray(build_keys)
     pk = np.ascontiguousarray(probe_keys)
+
+    if predicate is not None:
+        return _join_with_predicate(
+            bk, pk, how, num_buckets, unique, n_keys, key_domain, backend,
+            mode, hashfun, predicate, probe_payload or {}, build_payload or {})
 
     if backend == "auto":
         from .hostengine import native_engine
         small = bk.size + pk.size < HOST_CROSSOVER_ROWS
         wide = bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8
-        backend = ("host" if small and not wide
+        backend = ("host" if small and not wide and hashfun == "murmur"
                    and native_engine() is not None else "device")
 
     empty = np.zeros(0, np.int32)
@@ -160,7 +191,7 @@ def join(build_keys, probe_keys, how: str = "nested",
 
     if mode != "inner":
         return _join_with_mode(bk, pk, how, num_buckets, unique, n_keys,
-                               key_domain, backend, mode)
+                               key_domain, backend, mode, hashfun)
 
     if backend == "host":
         if bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8:
@@ -198,14 +229,15 @@ def join(build_keys, probe_keys, how: str = "nested",
         dom = int(bk.max()) + 1
         if dom <= 4 * bk.size:
             key_domain = dom
-    dense = narrow and can_use_dense_direct(bk, num_buckets)
+    dense = narrow and can_use_dense_direct(bk, num_buckets, hashfun)
 
     if how == "chaining" and dense:
         # single-pass windowed strand: positional pairs + exact counters
         from .ops.strands_windowed import direct_probe_strand_sorted
         table = build_chaining_host(bk, num_buckets, dense_direct=True,
                                     n_keys=bk.size,
-                                    full_chain_index=not unique)
+                                    full_chain_index=not unique,
+                                    hashfun=hashfun)
         out = jax.device_get(direct_probe_strand_sorted(table, pk,
                                                         unique=unique))
         v = out["probe_row"] >= 0
@@ -215,7 +247,7 @@ def join(build_keys, probe_keys, how: str = "nested",
 
     if how == "chaining":
         table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
-                                    key_domain=key_domain)
+                                    key_domain=key_domain, hashfun=hashfun)
         res = probe_chaining(table, pk, unique=unique)
         # one sync for both counters; num_matches IS the emitted-pair total
         # for chaining probes (num_matches = sum(match_count))
@@ -226,7 +258,7 @@ def join(build_keys, probe_keys, how: str = "nested",
             table, res, max(1, total), unique=unique)
     else:
         table = build_nested_host(bk, num_buckets, n_keys=n_keys,
-                                  key_domain=key_domain)
+                                  key_domain=key_domain, hashfun=hashfun)
         if table.key_direct is not None and narrow:
             # windowed keydirect strand: one sizing sync, then the fused
             # probe+unnest pipeline (PERF.md: 25-47x the reference at 16.8M)
@@ -257,7 +289,7 @@ def join(build_keys, probe_keys, how: str = "nested",
 
 
 def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,
-                    backend, mode):
+                    backend, mode, hashfun="murmur"):
     """left/semi/anti variants, derived from the inner probe's hit set.
 
     semi/anti never materialize the inner pairs -- the probe pass already
@@ -273,11 +305,12 @@ def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,
 
         if how == "chaining":
             table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
-                                        key_domain=key_domain)
+                                        key_domain=key_domain,
+                                        hashfun=hashfun)
             res = probe_chaining(table, pk, unique=unique)
         else:
             table = build_nested_host(bk, num_buckets, n_keys=n_keys,
-                                      key_domain=key_domain)
+                                      key_domain=key_domain, hashfun=hashfun)
             res = probe_nested(table, pk)
         hit, m, c = jax.device_get((res.hit, res.num_matches, res.num_cmps))
         hit = np.asarray(hit)
@@ -286,7 +319,8 @@ def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,
                           int(m), int(c), rows.size)
 
     inner = join(bk, pk, how=how, num_buckets=num_buckets, unique=unique,
-                 n_keys=n_keys, key_domain=key_domain, backend=backend)
+                 n_keys=n_keys, key_domain=key_domain, backend=backend,
+                 hashfun=hashfun)
     hit = np.zeros(pk.shape[0], bool)
     hit[inner.probe_rows] = True
 
@@ -304,3 +338,50 @@ def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,
 
     return JoinResult(rows, np.full(rows.size, -1, np.int32),
                       inner.num_matches, inner.num_cmps, rows.size)
+
+
+def _join_with_predicate(bk, pk, how, num_buckets, unique, n_keys,
+                         key_domain, backend, mode, hashfun, predicate,
+                         probe_payload, build_payload):
+    """Residual-predicate join: hash-equality pairs post-filtered by
+    ``predicate`` (see :func:`join`; ``concepts.hh:49-56``,
+    ``algebra.hh:647-648``).
+
+    The inner pairs are materialized first (the engine's probes are
+    whole-column pipelines, so the predicate runs once over the match
+    columns instead of per chain node); left/semi/anti are then derived
+    from the SURVIVING matches, so e.g. a probe row whose only matches are
+    filtered out counts as matchless for "left"/"anti".
+    """
+    inner = join(bk, pk, how=how, num_buckets=num_buckets, unique=unique,
+                 n_keys=n_keys, key_domain=key_domain, backend=backend,
+                 hashfun=hashfun)
+    pcols = {n: np.asarray(c)[inner.probe_rows]
+             for n, c in probe_payload.items()}
+    bcols = {n: np.asarray(c)[inner.build_rows]
+             for n, c in build_payload.items()}
+    keep = np.asarray(predicate(pcols, bcols), bool)
+    if keep.shape != inner.probe_rows.shape:
+        raise ValueError(
+            f"predicate returned shape {keep.shape}, expected "
+            f"{inner.probe_rows.shape}")
+    prow = inner.probe_rows[keep]
+    brow = inner.build_rows[keep]
+
+    if mode == "inner":
+        return JoinResult(prow, brow, prow.size, inner.num_cmps, prow.size)
+
+    hit = np.zeros(pk.shape[0], bool)
+    hit[prow] = True
+    if mode == "semi":
+        rows = np.nonzero(hit)[0].astype(np.int32)
+    elif mode == "anti":
+        rows = np.nonzero(~hit)[0].astype(np.int32)
+    else:  # left
+        miss = np.nonzero(~hit)[0].astype(np.int32)
+        return JoinResult(
+            np.concatenate([prow, miss]),
+            np.concatenate([brow, np.full(miss.size, -1, np.int32)]),
+            prow.size, inner.num_cmps, prow.size + miss.size)
+    return JoinResult(rows, np.full(rows.size, -1, np.int32),
+                      prow.size, inner.num_cmps, rows.size)

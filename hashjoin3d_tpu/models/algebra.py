@@ -247,17 +247,20 @@ class AlgDynSelection(AlgSelection):
 class AlgHashJoinBuild(AlgBase):
     """Chaining-table build (``algebra.hh:556-586``)."""
 
-    def __init__(self, key, num_buckets: int, relation: Relation = None):
+    def __init__(self, key, num_buckets: int, relation: Relation = None,
+                 hashfun="murmur"):
         super().__init__("AlgHashJoinBuild")
         self._key = key if callable(key) else (lambda cols: cols[key])
         self.num_buckets = num_buckets
+        self.hashfun = hashfun  # pluggable Thashfun (ht_chaining.hh:236-248)
         self.build_batch: Batch | None = None
         self.table = None
 
     def consume(self, batch: Batch, gs):
         self.reset()
         keys = self._key(batch.columns)
-        self.table = build_chaining(keys, self.num_buckets, valid=batch.mask)
+        self.table = build_chaining(keys, self.num_buckets, valid=batch.mask,
+                                    hashfun=self.hashfun)
         self.build_batch = batch
         self._count = batch.live_count()
         self.stop_timer()
@@ -275,13 +278,21 @@ class AlgHashJoinProbe(AlgBase):
     equivalent).  ``unique`` is IsBuildKeyUnique."""
 
     def __init__(self, consumer, build_op: AlgHashJoinBuild, key,
-                 unique: bool = False, lprefix: str = "l.", rprefix: str = "r."):
+                 unique: bool = False, lprefix: str = "l.", rprefix: str = "r.",
+                 residual=None):
         super().__init__("AlgHashJoinProbe")
         self._consumer = consumer
         self._build = build_op
         self._key = key if callable(key) else (lambda cols: cols[key])
         self._unique = unique
         self._lp, self._rp = lprefix, rprefix
+        # Residual join predicate (``alg_binary_predicate_c``,
+        # concepts.hh:49-56): ``residual(probe_cols, build_cols) -> bool``
+        # over the matched pairs' columns.  Applied as a post-filter on the
+        # hash-equality matches (the reference evaluates it inside the
+        # chain walk, algebra.hh:647-648): _count reflects SURVIVING pairs,
+        # num_cmps still counts hash-chain comparisons.
+        self._residual = residual
         self.num_cmps = 0
 
     def consume(self, batch: Batch, gs):
@@ -296,6 +307,12 @@ class AlgHashJoinProbe(AlgBase):
             table, res, out_size, unique=self._unique)
         pr = jnp.maximum(prow, 0)
         br = jnp.maximum(brow, 0)
+        if self._residual is not None:
+            pcols = {k: v[pr] for k, v in batch.columns.items()}
+            bcols = {k: v[br]
+                     for k, v in self._build.build_batch.columns.items()}
+            valid = valid & jnp.asarray(self._residual(pcols, bcols), bool)
+            self._count = int(jnp.sum(valid.astype(jnp.int32)))
         cols = {self._lp + k: v[pr] for k, v in batch.columns.items()}
         cols.update({self._rp + k: v[br]
                      for k, v in self._build.build_batch.columns.items()})
@@ -308,17 +325,19 @@ class AlgHashJoinProbe(AlgBase):
 class AlgNestJoinBuild(AlgBase):
     """3D-table build (``algebra.hh:362-401``)."""
 
-    def __init__(self, key, num_buckets: int):
+    def __init__(self, key, num_buckets: int, hashfun="murmur"):
         super().__init__("AlgNestJoinBuild")
         self._key = key if callable(key) else (lambda cols: cols[key])
         self.num_buckets = num_buckets
+        self.hashfun = hashfun  # pluggable Thashfun (ht_nested.hh:355-363)
         self.build_batch: Batch | None = None
         self.table = None
 
     def consume(self, batch: Batch, gs):
         self.reset()
         keys = self._key(batch.columns)
-        self.table = build_nested(keys, self.num_buckets, valid=batch.mask)
+        self.table = build_nested(keys, self.num_buckets, valid=batch.mask,
+                                  hashfun=self.hashfun)
         self.build_batch = batch
         self._count = batch.live_count()
         self.stop_timer()
@@ -363,11 +382,15 @@ class AlgUnnestHt(AlgBase):
     output row per duplicate, [MainNode row, then SubNodes LIFO] order."""
 
     def __init__(self, consumer, nest: str = "nest",
-                 lprefix: str = "", rprefix: str = "r."):
+                 lprefix: str = "", rprefix: str = "r.", residual=None):
         super().__init__("AlgUnnest")
         self._consumer = consumer
         self._nest = nest
         self._lp, self._rp = lprefix, rprefix
+        # Residual pair predicate for nested plans: nested probes emit group
+        # handles, so the pair-level filter (concepts.hh:49-56) applies at
+        # expansion, over (probe cols, build cols) of each unnested pair.
+        self._residual = residual
 
     def consume(self, batch: Batch, gs):
         self.reset()
@@ -386,6 +409,12 @@ class AlgUnnestHt(AlgBase):
         self._count = int(n_out)
         pr = jnp.maximum(prow, 0)
         br = jnp.maximum(brow, 0)
+        if self._residual is not None:
+            pcols = {k: v[pr] for k, v in batch.columns.items()}
+            bcols = {k: v[br]
+                     for k, v in nest.build_batch.columns.items()}
+            valid = valid & jnp.asarray(self._residual(pcols, bcols), bool)
+            self._count = int(jnp.sum(valid.astype(jnp.int32)))
         cols = {self._lp + k: v[pr] for k, v in batch.columns.items()}
         cols.update({self._rp + k: v[br]
                      for k, v in nest.build_batch.columns.items()})

@@ -25,6 +25,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -85,20 +86,26 @@ struct NestedCsr {
     mstart.assign((size_t)nbuckets + 1, 0);
     mkeys.reserve(n);
     grows.reserve(n);
+    // key -> main index.  One global map for all buckets: a key determines
+    // its bucket, so entries never collide across buckets and no per-bucket
+    // reset is needed.  Replaces the per-row linear re-scan of the bucket's
+    // distinct-key list (O(bucket_len x mains) -- quadratic for user-chosen
+    // small num_buckets through api.join(backend="host")).
+    std::unordered_map<uint32_t, size_t> midx;
+    midx.reserve((size_t)n);
     for (uint32_t b = 0; b < nbuckets; ++b) {
       const int64_t s = csr.start[b], e = csr.start[b + 1];
       const size_t first_main = mkeys.size();
       // pass 1: distinct keys in arrival order + group sizes
       for (int64_t i = s; i < e; ++i) {
         const uint32_t k = csr.keys[i];
-        size_t m = first_main;
-        for (; m < mkeys.size(); ++m)
-          if (mkeys[m] == k) break;
-        if (m == mkeys.size()) {
+        auto it = midx.find(k);
+        if (it == midx.end()) {
+          midx.emplace(k, mkeys.size());
           mkeys.push_back(k);
           gstart.push_back(1);  // temporarily: group length
         } else {
-          ++gstart[m];
+          ++gstart[it->second];
         }
       }
       mstart[b + 1] = (int64_t)mkeys.size();
@@ -113,9 +120,7 @@ struct NestedCsr {
       std::vector<int64_t> cur(gstart.begin() + first_main, gstart.end());
       for (int64_t i = s; i < e; ++i) {
         const uint32_t k = csr.keys[i];
-        size_t m = first_main;
-        for (;; ++m)
-          if (mkeys[m] == k) break;
+        const size_t m = midx.find(k)->second;
         grows[cur[m - first_main]++] = csr.rows[i];
       }
     }
@@ -408,22 +413,22 @@ int64_t hj3e_nested_join(const uint32_t* bk, int64_t n_build,
   mkeys.reserve(n_build);
   grows.reserve(n_build);
 
-  std::vector<int64_t> scratch_main;  // main index per distinct key in bucket
+  // key -> main index (see NestedCsr: one global map, no per-bucket reset)
+  std::unordered_map<uint32_t, size_t> midx;
+  midx.reserve((size_t)n_build);
   for (uint32_t b = 0; b < num_buckets; ++b) {
     const int64_t s = csr.start[b], e = csr.start[b + 1];
     const size_t first_main = mkeys.size();
-    scratch_main.clear();
     // pass 1: identify distinct keys in arrival order, count group sizes
     for (int64_t i = s; i < e; ++i) {
       const uint32_t k = csr.keys[i];
-      size_t m = first_main;
-      for (; m < mkeys.size(); ++m)
-        if (mkeys[m] == k) break;
-      if (m == mkeys.size()) {
+      auto it = midx.find(k);
+      if (it == midx.end()) {
+        midx.emplace(k, mkeys.size());
         mkeys.push_back(k);
         gstart.push_back(1);  // temporarily: group length
       } else {
-        ++gstart[m];
+        ++gstart[it->second];
       }
     }
     mstart[b + 1] = (int64_t)mkeys.size();
@@ -438,9 +443,7 @@ int64_t hj3e_nested_join(const uint32_t* bk, int64_t n_build,
     std::vector<int64_t> cur(gstart.begin() + first_main, gstart.end());
     for (int64_t i = s; i < e; ++i) {
       const uint32_t k = csr.keys[i];
-      size_t m = first_main;
-      for (; ; ++m)
-        if (mkeys[m] == k) break;
+      const size_t m = midx.find(k)->second;
       grows[cur[m - first_main]++] = csr.rows[i];
     }
   }

@@ -82,6 +82,10 @@ class ChainingTable:
     # demand for plans that count full chain walks on every probe (CsrUU):
     # turns the probe's comparison counting into a windowed lookup.
     chain_by_key: jax.Array | None = None  # i32[n] (dense-direct tables)
+    # Bucket-assignment functor (the reference's pluggable ``Thashfun``,
+    # ``ht_chaining.hh:236-248``): a HASH_FUNCTORS name or traceable
+    # callable.  Probes read it from here so build/probe always agree.
+    hashfun: str = field(metadata=dict(static=True), default="murmur")
 
     @property
     def size(self):
@@ -112,7 +116,8 @@ class ChainingTable:
                     chains=chains_bytes)
 
 
-def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
+def can_use_dense_direct(keys_np, num_buckets: int,
+                         hashfun="murmur") -> bool:
     """Host-side check that the dense-direct layout is exact for these keys.
 
     Requires: keys are a permutation of [0, n) with n a power of two, and the
@@ -120,7 +125,7 @@ def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
     """
     import numpy as np
 
-    from .hashing import murmur32_np
+    from .hashing import hash_key_np
 
     keys_np = np.asarray(keys_np)
     n = keys_np.size
@@ -134,16 +139,18 @@ def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
     if keys_np.max() != n - 1 or np.bincount(keys_np, minlength=n).max() != 1:
         return False
     shift = n.bit_length() - 1
-    occ = np.bincount(murmur32_np(keys_np) % np.uint32(num_buckets))
+    occ = np.bincount(hash_key_np(keys_np.astype(np.uint32), hashfun)
+                      % np.uint32(num_buckets))
     return int(occ.max()) < (1 << (32 - shift))
 
 
 @partial(jax.jit, static_argnames=("num_buckets", "dense_direct",
-                                   "key_domain"))
+                                   "key_domain", "hashfun"))
 def build_chaining(keys: jax.Array, num_buckets: int,
                    valid: jax.Array | None = None,
                    dense_direct: bool = False,
-                   key_domain: int | None = None) -> ChainingTable:
+                   key_domain: int | None = None,
+                   hashfun="murmur") -> ChainingTable:
     """Build the chaining table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgHashJoinBuild::step``
@@ -157,7 +164,7 @@ def build_chaining(keys: jax.Array, num_buckets: int,
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
 
-    h = hash_key(keys)
+    h = hash_key(keys, hashfun)
     b = bucket_of(h, num_buckets)
     if valid is not None:
         b = jnp.where(valid, b, num_buckets)  # park invalid rows past the end
@@ -218,6 +225,7 @@ def build_chaining(keys: jax.Array, num_buckets: int,
         num_buckets=num_buckets,
         direct=direct,
         direct_shift=direct_shift,
+        hashfun=hashfun if isinstance(hashfun, str) else hashfun,
     )
 
 
@@ -240,7 +248,8 @@ def build_chaining_host(keys: jax.Array, num_buckets: int,
                         n_keys: int | None = None,
                         key_domain: int | None = None,
                         early_exit_index: bool = True,
-                        full_chain_index: bool = False) -> ChainingTable:
+                        full_chain_index: bool = False,
+                        hashfun="murmur") -> ChainingTable:
     """Two-phase host-orchestrated build with a compacted directory.
 
     See :func:`hashjoin3d_tpu.ops.nested.build_nested_host` -- same structure
@@ -256,21 +265,25 @@ def build_chaining_host(keys: jax.Array, num_buckets: int,
         # permutation keys: the probe reads ONLY direct/bucket_len, so the
         # distinct-key directory need not be materialized at all
         return _build_chaining_dense(keys, num_buckets,
-                                     full_chain_index=full_chain_index)
+                                     full_chain_index=full_chain_index,
+                                     hashfun=hashfun)
     if n_keys is not None:
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
         return _build_chaining_fused(keys, cap, num_buckets, dense_direct,
-                                     key_domain, early_exit_index)
+                                     key_domain, early_exit_index, hashfun)
     skey, srow, nk = sort_with_rows(keys)
     n_keys = int(nk)  # the one host sync
     cap = group_capacity(n_keys, keys.shape[0])
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
-                                  dense_direct, key_domain, early_exit_index)
+                                  dense_direct, key_domain, early_exit_index,
+                                  hashfun)
 
 
-@partial(jax.jit, static_argnames=("num_buckets", "full_chain_index"))
-def _build_chaining_dense(keys, num_buckets, full_chain_index=False):
+@partial(jax.jit, static_argnames=("num_buckets", "full_chain_index",
+                                   "hashfun"))
+def _build_chaining_dense(keys, num_buckets, full_chain_index=False,
+                          hashfun="murmur"):
     """Slim dense-direct build: no distinct-key directory.
 
     Valid only for permutation keys (``can_use_dense_direct``): every probe
@@ -284,7 +297,7 @@ def _build_chaining_dense(keys, num_buckets, full_chain_index=False):
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
 
-    h = hash_key(keys)
+    h = hash_key(keys, hashfun)
     b = bucket_of(h, num_buckets)
     b_sorted, srow = lax.sort((b, row), num_keys=1, is_stable=True)
     is_first_b, _, run_start_b, run_len_b = run_boundaries(
@@ -302,7 +315,7 @@ def _build_chaining_dense(keys, num_buckets, full_chain_index=False):
 
     chain_by_key = None
     if full_chain_index:
-        bk2 = bucket_of(hash_key(row.astype(U32)), num_buckets)
+        bk2 = bucket_of(hash_key(row.astype(U32), hashfun), num_buckets)
         chain_by_key = bucket_len[bk2]
 
     empty = jnp.zeros(0, I32)
@@ -313,24 +326,30 @@ def _build_chaining_dense(keys, num_buckets, full_chain_index=False):
         groups=groups, bucket_start=bucket_start, bucket_len=bucket_len,
         pos_by_row=pos_by_row, group_min_pos=empty, group_chain_first=empty,
         keys=keys, num_buckets=num_buckets, direct=direct,
-        direct_shift=direct_shift, chain_by_key=chain_by_key)
+        direct_shift=direct_shift, chain_by_key=chain_by_key,
+        hashfun=hashfun)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain", "early_exit_index"))
+                                   "key_domain", "early_exit_index",
+                                   "hashfun"))
 def _build_chaining_fused(keys, cap, num_buckets, dense_direct,
-                          key_domain=None, early_exit_index=True):
+                          key_domain=None, early_exit_index=True,
+                          hashfun="murmur"):
     from .layout import sort_with_rows
 
     skey, srow, _ = sort_with_rows(keys)
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
-                                  dense_direct, key_domain, early_exit_index)
+                                  dense_direct, key_domain, early_exit_index,
+                                  hashfun)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain", "early_exit_index"))
+                                   "key_domain", "early_exit_index",
+                                   "hashfun"))
 def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
-                           key_domain=None, early_exit_index=True):
+                           key_domain=None, early_exit_index=True,
+                           hashfun="murmur"):
     from .layout import (compact_group_index, key_direct_index,
                          run_boundaries, sorted_histogram)
 
@@ -349,7 +368,9 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
         # heavy builds); near cap == n the cap-sized sort+scan machinery
         # costs as much as the row sort it replaces.
         validg = groups.group_len > 0
-        b_g = jnp.where(validg, bucket_of(hash_key(groups.ukey), num_buckets),
+        b_g = jnp.where(validg,
+                        bucket_of(hash_key(groups.ukey, hashfun),
+                                  num_buckets),
                         num_buckets)
         bs, ls = lax.sort((b_g, groups.group_len), num_keys=1,
                           is_stable=True)
@@ -370,9 +391,9 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
         return _assemble_chaining(groups, bucket_start, bucket_len,
                                   pos_by_row, group_min_pos,
                                   group_chain_first, keys, num_buckets,
-                                  dense_direct, key_domain)
+                                  dense_direct, key_domain, hashfun)
 
-    h = hash_key(keys)
+    h = hash_key(keys, hashfun)
     b = bucket_of(h, num_buckets)
 
     # chain positions via bucket-run scans (gather-free); the bucket histogram
@@ -413,12 +434,12 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
 
     return _assemble_chaining(groups, bucket_start, bucket_len, pos_by_row,
                               group_min_pos, group_chain_first, keys,
-                              num_buckets, dense_direct, key_domain)
+                              num_buckets, dense_direct, key_domain, hashfun)
 
 
 def _assemble_chaining(groups, bucket_start, bucket_len, pos_by_row,
                        group_min_pos, group_chain_first, keys, num_buckets,
-                       dense_direct, key_domain):
+                       dense_direct, key_domain, hashfun="murmur"):
     from .layout import key_direct_index
 
     n = keys.shape[0]
@@ -446,6 +467,7 @@ def _assemble_chaining(groups, bucket_start, bucket_len, pos_by_row,
         num_buckets=num_buckets,
         direct=direct,
         direct_shift=direct_shift,
+        hashfun=hashfun,
     )
 
 
@@ -496,7 +518,7 @@ def probe_chaining(
         hit = in_range if mask is None else (in_range & mask)
         d = table.direct[jnp.minimum(pk, n - 1)]
         row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
-        h = hash_key(pk)
+        h = hash_key(pk, table.hashfun)
         b = bucket_of(h, table.num_buckets)
         cmps = table.bucket_len[b]
         if mask is not None:
@@ -529,7 +551,7 @@ def probe_chaining(
         n_miss = jnp.sum(live_miss.astype(I32))
 
         def miss_cmps(_):
-            h = hash_key(pk)
+            h = hash_key(pk, table.hashfun)
             b = bucket_of(h, table.num_buckets)
             return jnp.sum(jnp.where(live_miss, table.bucket_len[b], 0)
                            .astype(jnp.int64))
@@ -545,7 +567,7 @@ def probe_chaining(
             from_direct=True,
         )
 
-    h = hash_key(pk)
+    h = hash_key(pk, table.hashfun)
     b = bucket_of(h, table.num_buckets)
     blen = table.bucket_len[b]
 

@@ -98,16 +98,38 @@ def murmur64_np(x):
     return x
 
 
-def hash_key(x):
-    """Murmur finalizer matched to the key width (util/hasht.hh:49-72).
+def hash_key(x, hashfun="murmur"):
+    """Hash finalizer matched to the key width (util/hasht.hh:17-113).
 
     The engine's tables are dtype-generic over u32/u64 join keys; bucket
-    assignment uses the same-width murmur finalizer the reference would
-    instantiate (``HashMurmur<uint32_t>`` / ``HashMurmur<uint64_t>``).
+    assignment uses the same-width functor the reference would instantiate
+    (``HashMurmur<uint32_t>`` / ``HashMurmur<uint64_t>`` by default).
+
+    ``hashfun`` selects the functor, closing the reference's pluggable
+    hash-functor contract (``Thashfun`` / ``Tprobehashfun``,
+    ``ht_chaining.hh:236-248``, ``ht_nested.hh:355-363``): a registry name
+    from :data:`HASH_FUNCTORS` ("murmur", "boncz", "fib", "mult") or any
+    traceable callable ``u32/u64 array -> same-width hash array``.  Build
+    and probe must agree on the functor; the tables record it as a static
+    field so probes pick it up automatically.
     """
+    if callable(hashfun):
+        return hashfun(x)
+    f32, f64 = HASH_FUNCTORS[hashfun]
     if jnp.dtype(x.dtype).itemsize == 8:
-        return murmur64(x)
-    return murmur32(x)
+        return f64(x)
+    return f32(x)
+
+
+def hash_key_np(x, hashfun="murmur"):
+    """Host-side (numpy) mirror of :func:`hash_key` for oracles and the
+    dense-direct occupancy check."""
+    if callable(hashfun):
+        return hashfun(x)
+    f32, f64 = HASH_FUNCTORS_NP[hashfun]
+    if np.dtype(np.asarray(x).dtype).itemsize == 8:
+        return f64(x)
+    return f32(x)
 
 
 def bucket_of(h, num_buckets: int):
@@ -158,6 +180,44 @@ def larson_np(s: bytes, salt: int = 0) -> int:
 def multiplicative32(x, a: int, b: int):
     x = jnp.asarray(x, jnp.uint32)
     return jnp.uint32(a) * x + jnp.uint32(b)
+
+
+def multiplicative32_np(x, a: int, b: int):
+    x = np.asarray(x, np.uint32)
+    with np.errstate(over="ignore"):
+        return np.uint32(a) * x + np.uint32(b)
+
+
+def multiplicative64(x, a: int, b: int):
+    x = jnp.asarray(x, jnp.uint64)
+    return jnp.uint64(a) * x + jnp.uint64(b)
+
+
+def multiplicative64_np(x, a: int, b: int):
+    x = np.asarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        return np.uint64(a) * x + np.uint64(b)
+
+
+# -- fibonacci hash, TPU (jnp) flavors (reference: util/hasht.hh:31-39) -------
+
+def fibhash32(x, n):
+    """32-bit Fibonacci hash into [0, n), double-precision like the
+    reference (``util/hasht.hh:31-39``); needs jax x64 (enabled at package
+    import)."""
+    x = jnp.asarray(x, jnp.uint32).astype(jnp.float64)
+    b = 2654435769.0
+    a = b / float(1 << 32)
+    z = a * x
+    return jnp.floor(n * (z - jnp.floor(z))).astype(jnp.uint32)
+
+
+def fibhash64(x, n):
+    x = jnp.asarray(x, jnp.uint64).astype(jnp.float64)
+    b = 11400714819323198485.0
+    a = b / float(1 << 64)
+    z = a * x
+    return jnp.floor(n * (z - jnp.floor(z))).astype(jnp.uint64)
 
 
 # -- fibonacci hash, 16/64-bit variants (reference: util/hasht.hh:22-47) ------
@@ -263,3 +323,57 @@ def hash_crc32x2_np(x, mod=None):
     c2 = crc32c_u32_np(x, CRC_SEED_2)
     h = (c1.astype(np.uint64) << np.uint64(32)) | c2.astype(np.uint64)
     return (h % np.uint64(mod)).astype(np.uint32)
+
+
+# -- pluggable functor registry (reference: concepts.hh:40-47 hashfun_c;
+# per-call-site injection at ht_chaining.hh:236-248, ht_nested.hh:355-363).
+# Each entry is a (u32 flavor, u64 flavor) pair; full-width outputs so the
+# table's ``hash % num_buckets`` bucketing (ht_chaining.hh:139-140) applies
+# uniformly.  Knuth multiplicative constants for "mult"; "fib" maps through
+# the reference's double-precision formula at full width.
+
+_KNUTH32 = 2654435761
+_KNUTH64 = 11400714819323198485
+
+HASH_FUNCTORS = {
+    "murmur": (murmur32, murmur64),
+    "boncz": (boncz32, boncz64),
+    "fib": (lambda x: fibhash32(x, float(1 << 32)),
+            lambda x: fibhash64(x, float(1 << 64))),
+    "mult": (lambda x: multiplicative32(x, _KNUTH32, 0),
+             lambda x: multiplicative64(x, _KNUTH64, 0)),
+    "identity": (lambda x: jnp.asarray(x, jnp.uint32),
+                 lambda x: jnp.asarray(x, jnp.uint64)),
+}
+
+
+def boncz64_np(x):
+    x = np.asarray(x, np.uint64)
+    return ((x >> np.uint64(7)) ^ (x >> np.uint64(13))
+            ^ (x >> np.uint64(17)) ^ (x >> np.uint64(23))
+            ^ (x >> np.uint64(43)))
+
+
+def _fib_full32_np(x):
+    x = np.asarray(x, np.uint32).astype(np.float64)
+    a = 2654435769.0 / float(1 << 32)
+    z = a * x
+    return np.floor(float(1 << 32) * (z - np.floor(z))).astype(np.uint32)
+
+
+def _fib_full64_np(x):
+    x = np.asarray(x, np.uint64).astype(np.float64)
+    a = 11400714819323198485.0 / float(1 << 64)
+    z = a * x
+    return np.floor(float(1 << 64) * (z - np.floor(z))).astype(np.uint64)
+
+
+HASH_FUNCTORS_NP = {
+    "murmur": (murmur32_np, murmur64_np),
+    "boncz": (boncz32_np, boncz64_np),
+    "fib": (_fib_full32_np, _fib_full64_np),
+    "mult": (lambda x: multiplicative32_np(x, _KNUTH32, 0),
+             lambda x: multiplicative64_np(x, _KNUTH64, 0)),
+    "identity": (lambda x: np.asarray(x, np.uint32),
+                 lambda x: np.asarray(x, np.uint64)),
+}

@@ -71,6 +71,10 @@ class NestedTable:
     # Dense key-domain index (see chaining.py): key value -> group id in ONE
     # gather when the key domain [0, domain) is small and statically known.
     key_direct: jax.Array | None = None  # i32[domain], -1 = key absent
+    # Bucket-assignment functor (the reference's pluggable ``Thashfun`` /
+    # ``Tprobehashfun``, ``ht_nested.hh:355-363``): a HASH_FUNCTORS name or
+    # traceable callable; probes read it from here.
+    hashfun: str = field(metadata=dict(static=True), default="murmur")
 
     @property
     def size(self):
@@ -99,18 +103,20 @@ class NestedTable:
                     main=main_bytes, sub=sub_bytes)
 
 
-def can_use_dense_direct(keys_np, num_buckets: int) -> bool:
+def can_use_dense_direct(keys_np, num_buckets: int,
+                         hashfun="murmur") -> bool:
     """Host-side validity check for the dense-direct nested layout."""
     from .chaining import can_use_dense_direct as _chk
-    return _chk(keys_np, num_buckets)
+    return _chk(keys_np, num_buckets, hashfun)
 
 
 @partial(jax.jit, static_argnames=("num_buckets", "dense_direct",
-                                   "key_domain"))
+                                   "key_domain", "hashfun"))
 def build_nested(keys: jax.Array, num_buckets: int,
                  valid: jax.Array | None = None,
                  dense_direct: bool = False,
-                 key_domain: int | None = None) -> NestedTable:
+                 key_domain: int | None = None,
+                 hashfun="murmur") -> NestedTable:
     """Build the 3D table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgNestJoinBuild::step``
@@ -126,7 +132,7 @@ def build_nested(keys: jax.Array, num_buckets: int,
 
     groups = key_group_index(keys, valid)
 
-    h_main = hash_key(groups.ukey)
+    h_main = hash_key(groups.ukey, hashfun)
     valid = groups.group_len > 0
     b_main = jnp.where(
         valid, bucket_of(h_main, num_buckets), num_buckets
@@ -173,6 +179,7 @@ def build_nested(keys: jax.Array, num_buckets: int,
         direct=direct,
         direct_shift=direct_shift,
         key_direct=key_direct,
+        hashfun=hashfun,
     )
 
 
@@ -217,7 +224,8 @@ def shrink_nested(table: NestedTable, cap: int) -> NestedTable:
 def build_nested_host(keys: jax.Array, num_buckets: int,
                       dense_direct: bool = False,
                       n_keys: int | None = None,
-                      key_domain: int | None = None) -> NestedTable:
+                      key_domain: int | None = None,
+                      hashfun="murmur") -> NestedTable:
     """Two-phase host-orchestrated build with a *compacted* directory.
 
     Phase 1 sorts the keys and reads the distinct-key count on the host (one
@@ -239,21 +247,21 @@ def build_nested_host(keys: jax.Array, num_buckets: int,
     if dense_direct and n_keys == keys.shape[0]:
         # permutation keys: probe/unnest/stats read only direct +
         # bucket_main_len; skip the distinct-key directory entirely
-        return _build_nested_dense(keys, num_buckets)
+        return _build_nested_dense(keys, num_buckets, hashfun)
     if n_keys is not None:
         # sync-free: both phases fuse into one device program (one dispatch)
         cap = group_capacity(n_keys, keys.shape[0])
         return _build_nested_fused(keys, cap, num_buckets, dense_direct,
-                                   key_domain)
+                                   key_domain, hashfun)
     skey, srow, nk = sort_with_rows(keys)
     n_keys = int(nk)  # the one host sync
     cap = group_capacity(n_keys, keys.shape[0])
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
-                                dense_direct, key_domain)
+                                dense_direct, key_domain, hashfun)
 
 
-@partial(jax.jit, static_argnames=("num_buckets",))
-def _build_nested_dense(keys, num_buckets):
+@partial(jax.jit, static_argnames=("num_buckets", "hashfun"))
+def _build_nested_dense(keys, num_buckets, hashfun="murmur"):
     """Slim dense-direct 3D build: no distinct-key directory.
 
     Permutation keys make every row its own MainNode; main-chain position is
@@ -266,7 +274,7 @@ def _build_nested_dense(keys, num_buckets):
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
 
-    h = hash_key(keys)
+    h = hash_key(keys, hashfun)
     b = bucket_of(h, num_buckets)
     b_sorted, srow = lax.sort((b, row), num_keys=1, is_stable=True)
     is_first_b, _, run_start_b, run_len_b = run_boundaries(
@@ -288,24 +296,24 @@ def _build_nested_dense(keys, num_buckets):
     return NestedTable(
         groups=groups, main_pos_by_group=empty,
         bucket_main_len=bucket_main_len, keys=keys, num_buckets=num_buckets,
-        direct=direct, direct_shift=direct_shift)
+        direct=direct, direct_shift=direct_shift, hashfun=hashfun)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain"))
+                                   "key_domain", "hashfun"))
 def _build_nested_fused(keys, cap, num_buckets, dense_direct,
-                        key_domain=None):
+                        key_domain=None, hashfun="murmur"):
     from .layout import sort_with_rows
 
     skey, srow, _ = sort_with_rows(keys)
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
-                                dense_direct, key_domain)
+                                dense_direct, key_domain, hashfun)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain"))
+                                   "key_domain", "hashfun"))
 def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
-                         key_domain=None):
+                         key_domain=None, hashfun="murmur"):
     from .layout import (compact_group_index, key_direct_index,
                          run_boundaries)
 
@@ -313,7 +321,7 @@ def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
     n = keys.shape[0]
     groups = compact_group_index(keys, skey, srow, cap)
 
-    h_main = hash_key(groups.ukey)
+    h_main = hash_key(groups.ukey, hashfun)
     validg = groups.group_len > 0
     b_main = jnp.where(validg,
                        bucket_of(h_main, num_buckets),
@@ -354,6 +362,7 @@ def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
         num_buckets=num_buckets,
         direct=direct,
         direct_shift=direct_shift,
+        hashfun=hashfun,
     )
 
 
@@ -384,7 +393,7 @@ def probe_nested(
         n_miss = jnp.sum(live_miss.astype(I32))
 
         def miss_cmps(_):
-            h = hash_key(pk)
+            h = hash_key(pk, table.hashfun)
             b = bucket_of(h, table.num_buckets)
             return jnp.sum(jnp.where(live_miss, table.bucket_main_len[b], 0)
                            .astype(jnp.int64))
@@ -401,7 +410,7 @@ def probe_nested(
             direct_row=row,
         )
 
-    h = hash_key(pk)
+    h = hash_key(pk, table.hashfun)
     b = bucket_of(h, table.num_buckets)
 
     if table.key_direct is not None:

@@ -110,7 +110,8 @@ def _sort_probes(pk: jax.Array):
     return lax.sort((pk.astype(U32), jnp.arange(P, dtype=I32)), num_keys=1)
 
 
-def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask):
+def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
+                     hashfun="murmur"):
     """Comparison count contributed by missing probes: each walks its full
     bucket chain (``algebra.hh:640-658`` on a miss).  Runs only when misses
     exist; the bucket-id stream is hash-ordered, so it gets one sort and a
@@ -118,7 +119,7 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask):
     n_miss = jnp.sum(miss_mask.astype(I32))
 
     def walk(_):
-        b = bucket_of(hash_key(skey_u32), num_buckets)
+        b = bucket_of(hash_key(skey_u32, hashfun), num_buckets)
         b = jnp.where(miss_mask, b, -1)        # live misses only
         b_sorted = lax.sort((b.astype(I32),), num_keys=1)[0]
         return jnp.sum(safe_lookup(table_bucket_len, b_sorted)
@@ -160,7 +161,8 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     pos1 = (d >> jnp.uint32(table.direct_shift)).astype(I32)
 
     blen = (table.bucket_main_len if nested else table.bucket_len)
-    miss_cmps = _miss_chain_cmps(blen, table.num_buckets, skey, ~hit)
+    miss_cmps = _miss_chain_cmps(blen, table.num_buckets, skey, ~hit,
+                                 table.hashfun)
 
     if unique or nested:
         cmps = jnp.sum(jnp.where(hit, pos1, 0).astype(jnp.int64)) + miss_cmps
@@ -197,7 +199,7 @@ def _keydirect_probe(table, sk, skey_u32, g=None, live=None):
     pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32), g).astype(I32)
     miss = (~hit) if live is None else (live & ~hit)
     miss_cmps = _miss_chain_cmps(table.bucket_main_len, table.num_buckets,
-                                 skey_u32, miss)
+                                 skey_u32, miss, table.hashfun)
     return g, hit, glen, pos1, miss_cmps
 
 
@@ -314,7 +316,7 @@ def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     pos1_t = safe_lookup((tbl_t.main_pos_by_group + 1).view(U32),
                          g_t).astype(I32)
     miss_t = _miss_chain_cmps(tbl_t.bucket_main_len, tbl_t.num_buckets,
-                              skey, hit_s & ~both)
+                              skey, hit_s & ~both, tbl_t.hashfun)
     c_rt = jnp.sum(both.astype(jnp.int64))
     c_rt_cmp = jnp.sum(pos1_t.astype(jnp.int64)) + miss_t
 
@@ -370,7 +372,7 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     # full-chain comparisons: bucket chain length per probe key.  The
     # bucket stream is hash-ordered (not sorted): sort it once and ride the
     # windowed lookup -- still far cheaper than the serialized gather.
-    b_s = bucket_of(hash_key(skey), tbl_s.num_buckets)
+    b_s = bucket_of(hash_key(skey, tbl_s.hashfun), tbl_s.num_buckets)
     bs_sorted = lax.sort((b_s.astype(U32),), num_keys=1)[0]
     c_rs_cmp = jnp.sum(safe_lookup(
         tbl_s.bucket_len, bs_sorted.astype(I32)).astype(jnp.int64))
@@ -394,7 +396,8 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     # hash-ordered (random), so a windowed attempt could never cover --
     # use the plain gather (domain-sized, one-time per strand)
     b_dom = bucket_of(hash_key(jnp.arange(tbl_t.key_direct.shape[0],
-                                          dtype=U32)), tbl_t.num_buckets)
+                                          dtype=U32), tbl_t.hashfun),
+                      tbl_t.num_buckets)
     cbk_t = tbl_t.bucket_len[b_dom]
     # per-pair full T-chain walk: chain length of the pair's key, windowed
     # over the sorted pair-key stream p1 (keys are iota => key == p1)
@@ -435,7 +438,7 @@ def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
     pos1_t = safe_lookup((tbl_t.main_pos_by_group + 1).view(U32),
                          g_t).astype(I32)
     miss_t = _miss_chain_cmps(tbl_t.bucket_main_len, tbl_t.num_buckets,
-                              skey, hit_s & ~both)
+                              skey, hit_s & ~both, tbl_t.hashfun)
     return dict(
         g_s=jnp.where(both, g_s, -1),
         g_t=jnp.where(both, g_t, -1),
@@ -489,7 +492,7 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
                            g).astype(I32)
         miss = (~hit) if live_s is None else (live_s & ~hit)
         miss_cmps = _miss_chain_cmps(table.bucket_len, table.num_buckets,
-                                     skey, miss)
+                                     skey, miss, table.hashfun)
         cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
         # emission source: the first matching row in chain order
         row_by_p = safe_lookup((table.group_chain_first + 1).view(U32),
@@ -499,7 +502,8 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
         m = jnp.sum(glen.astype(jnp.int64))
         # full-chain comparisons for every LIVE probe: bucket chain
         # lengths, summed over the sorted bucket-id stream
-        b = bucket_of(hash_key(skey), table.num_buckets).astype(I32)
+        b = bucket_of(hash_key(skey, table.hashfun),
+                      table.num_buckets).astype(I32)
         if live_s is not None:
             b = jnp.where(live_s, b, -1)
         b_sorted = lax.sort((b,), num_keys=1)[0]

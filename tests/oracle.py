@@ -21,12 +21,13 @@ def murmur32_py(x: int) -> int:
 class ChainingOracle:
     """Simulates HtChaining1 insertion + AlgHashJoinProbe semantics."""
 
-    def __init__(self, keys, num_buckets: int):
+    def __init__(self, keys, num_buckets: int, hashfun=murmur32_py):
         self.nb = num_buckets
+        self.hf = hashfun
         # bucket -> list of (row, key) in chain order
         self.buckets = {}
         for row, k in enumerate(int(v) for v in keys):
-            b = murmur32_py(k) % num_buckets
+            b = self.hf(k) % num_buckets
             chain = self.buckets.setdefault(b, [])
             if not chain:
                 chain.append((row, k))       # directory node
@@ -43,7 +44,7 @@ class ChainingOracle:
         matches = 0
         cmps = 0
         for p, k in enumerate(int(v) for v in probe_keys):
-            b = murmur32_py(k) % self.nb
+            b = self.hf(k) % self.nb
             chain = self.chain(b)
             if not chain:
                 continue
@@ -59,7 +60,7 @@ class ChainingOracle:
     def stats(self):
         lens = [len(self.chain(b)) for b in range(self.nb)]
         nonempty = [l for l in lens if l > 0]
-        distinct_hashes = len({murmur32_py(k) for k in self.keys})
+        distinct_hashes = len({self.hf(k) for k in self.keys})
         return dict(
             num_buckets=self.nb,
             num_empty=sum(1 for l in lens if l == 0),
@@ -73,12 +74,13 @@ class ChainingOracle:
 class NestedOracle:
     """Simulates HtNested1 insertion + AlgNestJoinProbe/AlgUnnestHt semantics."""
 
-    def __init__(self, keys, num_buckets: int):
+    def __init__(self, keys, num_buckets: int, hashfun=murmur32_py):
         self.nb = num_buckets
+        self.hf = hashfun
         # bucket -> list of mains; main = dict(key, first_row, subrows list)
         self.buckets = {}
         for row, k in enumerate(int(v) for v in keys):
-            b = murmur32_py(k) % num_buckets
+            b = self.hf(k) % num_buckets
             mains = self.buckets.setdefault(b, [])
             for m in mains:
                 if m["key"] == k:
@@ -94,7 +96,7 @@ class NestedOracle:
         matches = 0
         cmps = 0
         for p, k in enumerate(int(v) for v in probe_keys):
-            b = murmur32_py(k) % self.nb
+            b = self.hf(k) % self.nb
             mains = self.buckets.get(b, [])
             for m in mains:
                 cmps += 1

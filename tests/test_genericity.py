@@ -1,0 +1,232 @@
+"""L2 genericity contracts: pluggable hash functors + residual predicates.
+
+Closes the two concepts.hh deltas (VERDICT round 2 "What's missing"):
+
+* ``hashfun=`` threads any registry functor (or callable) through build and
+  probe, the reference's ``Thashfun`` / ``Tprobehashfun`` injection points
+  (``ht_chaining.hh:236-248``, ``ht_nested.hh:355-363``).  Counters are
+  pinned against the python oracle parameterized with the same functor.
+* ``predicate=`` / ``residual=`` adds the ``alg_binary_predicate_c``
+  (``concepts.hh:49-56``) residual filter over matched pairs, evaluated on
+  the materialized pair columns (post-filter semantics; the divergence from
+  the reference's in-chain evaluation at ``algebra.hh:647-648`` is
+  documented at the API).
+"""
+
+import numpy as np
+import pytest
+
+import hashjoin3d_tpu as hj
+from hashjoin3d_tpu.ops import hashing as H
+from oracle import ChainingOracle, NestedOracle
+
+FUNCTORS = ["murmur", "boncz", "fib", "mult", "identity"]
+
+
+def _py_functor(name):
+    return lambda k: int(H.hash_key_np(np.array([k], np.uint32), name)[0])
+
+
+@pytest.mark.parametrize("name", FUNCTORS)
+def test_chaining_hashfun_counters(name):
+    rng = np.random.default_rng(31)
+    bk = rng.integers(0, 60, 400, dtype=np.uint32)
+    pk = rng.integers(0, 80, 300, dtype=np.uint32)
+    nb = 37
+
+    res = hj.join(bk, pk, how="chaining", num_buckets=nb, hashfun=name,
+                  backend="device")
+    orc = ChainingOracle(bk, nb, hashfun=_py_functor(name))
+    pairs, matches, cmps = orc.probe(pk)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(pairs)
+
+
+@pytest.mark.parametrize("name", ["boncz", "fib"])
+def test_chaining_hashfun_unique(name):
+    rng = np.random.default_rng(32)
+    bk = rng.permutation(64).astype(np.uint32)
+    pk = rng.integers(0, 90, 200, dtype=np.uint32)
+
+    res = hj.join(bk, pk, how="chaining", unique=True, num_buckets=16,
+                  hashfun=name, backend="device")
+    orc = ChainingOracle(bk, 16, hashfun=_py_functor(name))
+    pairs, matches, cmps = orc.probe(pk, unique=True)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(pairs)
+
+
+@pytest.mark.parametrize("name", FUNCTORS)
+def test_nested_hashfun_counters(name):
+    rng = np.random.default_rng(33)
+    bk = rng.integers(0, 50, 350, dtype=np.uint32)
+    pk = rng.integers(0, 70, 250, dtype=np.uint32)
+    nb = 23
+
+    res = hj.join(bk, pk, num_buckets=nb, hashfun=name, backend="device")
+    orc = NestedOracle(bk, nb, hashfun=_py_functor(name))
+    nested, matches, cmps = orc.probe(pk)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(orc.unnest(nested))
+
+
+def test_hashfun_callable():
+    """An arbitrary traceable callable works as the functor."""
+    import jax.numpy as jnp
+
+    def my_hash(x):
+        return jnp.asarray(x, jnp.uint32) * jnp.uint32(2654435761) + 7
+
+    rng = np.random.default_rng(34)
+    bk = rng.integers(0, 40, 200, dtype=np.uint32)
+    pk = rng.integers(0, 60, 150, dtype=np.uint32)
+    res = hj.join(bk, pk, how="chaining", num_buckets=11, hashfun=my_hash,
+                  backend="device")
+    orc = ChainingOracle(
+        bk, 11, hashfun=lambda k: (k * 2654435761 + 7) & 0xFFFFFFFF)
+    pairs, matches, cmps = orc.probe(pk)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(pairs)
+
+
+def test_hashfun_host_backend_rejected():
+    with pytest.raises(ValueError, match="murmur"):
+        hj.join(np.zeros(4, np.uint32), np.zeros(4, np.uint32),
+                hashfun="fib", backend="host")
+
+
+def test_hashfun_dense_direct_path(monkeypatch):
+    """Permutation build keys (the dense-direct windowed strand) with a
+    non-default functor: miss-side comparisons rebucket with that functor."""
+    rng = np.random.default_rng(35)
+    bk = rng.permutation(128).astype(np.uint32)
+    pk = rng.integers(0, 192, 256, dtype=np.uint32)  # half miss out-of-range
+
+    res = hj.join(bk, pk, how="chaining", unique=True, num_buckets=32,
+                  hashfun="boncz", backend="device")
+    orc = ChainingOracle(bk, 32, hashfun=_py_functor("boncz"))
+    pairs, matches, cmps = orc.probe(pk, unique=True)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(pairs)
+
+
+# -- residual predicates -----------------------------------------------------
+
+
+def _brute_pairs(bk, pk):
+    out = []
+    for p, k in enumerate(pk):
+        for r, b in enumerate(bk):
+            if b == k:
+                out.append((p, r))
+    return out
+
+
+@pytest.mark.parametrize("how", ["chaining", "nested"])
+def test_join_residual_predicate(how):
+    rng = np.random.default_rng(36)
+    bk = rng.integers(0, 30, 200, dtype=np.uint32)
+    pk = rng.integers(0, 40, 150, dtype=np.uint32)
+    bval = rng.integers(0, 100, 200, dtype=np.int32)
+    pval = rng.integers(0, 100, 150, dtype=np.int32)
+
+    res = hj.join(bk, pk, how=how, num_buckets=7, backend="device",
+                  predicate=lambda pc, bc: pc["v"] < bc["w"],
+                  probe_payload={"v": pval}, build_payload={"w": bval})
+    want = sorted((p, r) for p, r in _brute_pairs(bk, pk)
+                  if pval[p] < bval[r])
+    assert sorted(res.pairs()) == want
+    assert res.num_results == len(want)
+    assert res.num_matches == len(want)  # matches count SURVIVING pairs
+    # cmps describe the underlying hash-equality probe: unchanged by filter
+    base = hj.join(bk, pk, how=how, num_buckets=7, backend="device")
+    assert res.num_cmps == base.num_cmps
+
+
+@pytest.mark.parametrize("mode", ["left", "semi", "anti"])
+def test_join_residual_predicate_modes(mode):
+    rng = np.random.default_rng(37)
+    bk = rng.integers(0, 20, 100, dtype=np.uint32)
+    pk = rng.integers(0, 30, 80, dtype=np.uint32)
+    bval = rng.integers(0, 10, 100, dtype=np.int32)
+    pval = rng.integers(0, 10, 80, dtype=np.int32)
+
+    res = hj.join(bk, pk, num_buckets=5, backend="device", mode=mode,
+                  predicate=lambda pc, bc: pc["v"] != bc["w"],
+                  probe_payload={"v": pval}, build_payload={"w": bval})
+    surviving = set(p for p, r in _brute_pairs(bk, pk)
+                    if pval[p] != bval[r])
+    if mode == "semi":
+        want_rows = sorted(surviving)
+        assert sorted(res.probe_rows.tolist()) == want_rows
+        assert np.all(res.build_rows == -1)
+    elif mode == "anti":
+        want_rows = sorted(set(range(80)) - surviving)
+        assert sorted(res.probe_rows.tolist()) == want_rows
+    else:  # left: surviving pairs + (-1) rows for filtered-out probes
+        inner = [(p, r) for p, r in _brute_pairs(bk, pk)
+                 if pval[p] != bval[r]]
+        miss = sorted(set(range(80)) - surviving)
+        got = sorted(zip(res.probe_rows.tolist(), res.build_rows.tolist()))
+        want = sorted(inner + [(m, -1) for m in miss])
+        assert got == want
+
+
+def test_algebra_residual_predicate():
+    """AlgHashJoinProbe(residual=...) filters emitted pairs; counters follow."""
+    from hashjoin3d_tpu.models.algebra import (
+        AlgHashJoinBuild, AlgHashJoinProbe, AlgScan, AlgTop, Relation)
+
+    rng = np.random.default_rng(38)
+    n_b, n_p = 120, 90
+    bkey = rng.integers(0, 25, n_b, dtype=np.uint32)
+    bval = rng.integers(0, 50, n_b, dtype=np.int32)
+    pkey = rng.integers(0, 30, n_p, dtype=np.uint32)
+    pval = rng.integers(0, 50, n_p, dtype=np.int32)
+
+    build_rel = Relation(k=bkey, w=bval)
+    probe_rel = Relation(k=pkey, v=pval)
+
+    build = AlgHashJoinBuild("k", 9)
+    AlgScan(build, build_rel).run()
+
+    top = AlgTop()
+    probe = AlgHashJoinProbe(top, build, "k",
+                             residual=lambda pc, bc: pc["v"] < bc["w"])
+    AlgScan(probe, probe_rel).run()
+
+    want = sum(1 for p in range(n_p) for r in range(n_b)
+               if pkey[p] == bkey[r] and pval[p] < bval[r])
+    assert probe.count() == want
+    assert top.count() == want
+
+
+def test_algebra_unnest_residual():
+    """AlgUnnestHt(residual=...) filters expanded pairs of a nested plan."""
+    from hashjoin3d_tpu.models.algebra import (
+        AlgNestJoinBuild, AlgNestJoinProbe, AlgScan, AlgTop, AlgUnnestHt,
+        Relation)
+
+    rng = np.random.default_rng(39)
+    n_b, n_p = 100, 70
+    bkey = rng.integers(0, 15, n_b, dtype=np.uint32)
+    bval = rng.integers(0, 40, n_b, dtype=np.int32)
+    pkey = rng.integers(0, 20, n_p, dtype=np.uint32)
+    pval = rng.integers(0, 40, n_p, dtype=np.int32)
+
+    build = AlgNestJoinBuild("k", 7)
+    AlgScan(build, Relation(k=bkey, w=bval)).run()
+
+    top = AlgTop()
+    unnest = AlgUnnestHt(top, residual=lambda pc, bc: pc["v"] >= bc["w"])
+    probe = AlgNestJoinProbe(unnest, build, "k")
+    AlgScan(probe, Relation(k=pkey, v=pval)).run()
+
+    want = sum(1 for p in range(n_p) for r in range(n_b)
+               if pkey[p] == bkey[r] and pval[p] >= bval[r])
+    assert top.count() == want
