@@ -37,6 +37,65 @@ def sort_rows(keys: jax.Array):
                     is_stable=True)
 
 
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def probe_sort_chunk(P: int, domain: int | None, min_k: int = 8,
+                     max_k: int = 64, align: int = 1024) -> int | None:
+    """Segment size for a batched (segmented) probe sort, or None.
+
+    XLA's TPU sort runs along the minor axis independently per row with
+    bitonic depth ~log^2(C), so sorting K segments of C costs measurably
+    less than one monolithic sort (tools/sortbench.py on v5e, 2^24 keys:
+    2-op 49.9 ms monolithic -> 38.2 ms at (16, 2^20), 11.6 ms at
+    (4096, 2^12)).  A segment-sorted stream stays windowed-lookup-friendly
+    (ops/windowed.py) as long as each segment covers the whole key domain
+    (window-chunk spread ~ domain * C_window / segment <= W) and segment
+    boundaries land on window-chunk boundaries (``align``).  Returns the
+    smallest valid power-of-two segment, or None when a global sort is
+    required (unknown domain, indivisible P, or too few segments to pay
+    off -- batch dims < 8 are padded to the sublane tile and LOSE to the
+    monolithic sort: (4, 2^22) measured slower than (2^24,)).
+    """
+    if domain is None or domain <= 0:
+        return None
+    chunk = max(_pow2_ceil(domain), align)
+    # cap the segment count: downstream safe_lookup patches at most ~max_k
+    # boundary chunks per expansion stream
+    chunk = max(chunk, _pow2_ceil(-(-P // max_k)))
+    if chunk * min_k > P or P % chunk:
+        return None
+    return chunk
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def sort_segmented(keys_u32: jax.Array, chunk: int):
+    """Sort u32 keys independently within contiguous ``chunk``-sized
+    segments; returns (seg-sorted keys, original row ids).
+
+    The fast replacement for the probe strands' global 2-op sort when the
+    key domain is known (see :func:`probe_sort_chunk`); row ids are
+    recovered from segment-local ids, so the sort stays 2-op u32/i32.
+    """
+    P = keys_u32.shape[0]
+    K = P // chunk
+    k2 = keys_u32.reshape(K, chunk)
+    r2 = jnp.broadcast_to(jnp.arange(chunk, dtype=I32)[None, :], (K, chunk))
+    sk, sr = lax.sort((k2, r2), num_keys=1, dimension=1)
+    sr = sr + (jnp.arange(K, dtype=I32) * jnp.int32(chunk))[:, None]
+    return sk.reshape(P), sr.reshape(P)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def sort_segmented_1op(vals_i32: jax.Array, chunk: int) -> jax.Array:
+    """1-op within-segment ascending sort (counter streams: bucket ids
+    with -1 dead markers sorting to each segment's front)."""
+    P = vals_i32.shape[0]
+    return lax.sort((vals_i32.reshape(P // chunk, chunk),), num_keys=1,
+                    dimension=1)[0].reshape(P)
+
+
 @partial(jax.jit, static_argnames=("num_partitions", "by_hash"))
 def radix_partition(keys: jax.Array, num_partitions: int,
                     *payloads: jax.Array, by_hash: bool = True,

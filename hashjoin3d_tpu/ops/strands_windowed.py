@@ -41,8 +41,7 @@ from jax import lax
 
 from .hashing import bucket_of, hash_key
 from .layout import I32, U32, expand
-from .windowed import (DEFAULT_C, DEFAULT_W, windowed_lookup,
-                       windowed_coverage_ok)
+from .windowed import DEFAULT_C, DEFAULT_W, chunk_bases, windowed_lookup
 
 
 def _pad_table(arr: jax.Array, W: int = DEFAULT_W) -> jax.Array:
@@ -56,7 +55,8 @@ def _pad_table(arr: jax.Array, W: int = DEFAULT_W) -> jax.Array:
 
 
 def safe_lookup(values: jax.Array, keys: jax.Array,
-                W: int = DEFAULT_W, C: int = DEFAULT_C) -> jax.Array:
+                W: int = DEFAULT_W, C: int = DEFAULT_C,
+                max_patch: int = 64) -> jax.Array:
     """``values[keys]`` with miss-as-zero semantics, windowed when coverage
     holds, XLA gather otherwise (one ``lax.cond``; the coverage check is a
     cheap reduction riding the key stream).
@@ -66,6 +66,15 @@ def safe_lookup(values: jax.Array, keys: jax.Array,
     >= len(values) yields 0.  Coverage needs each C-chunk's in-range key
     spread <= W; when the stream's stride per element exceeds ~W/C, pass a
     smaller ``C`` and/or larger ``W`` (see :func:`stride_params`).
+
+    Up to ``max_patch`` uncovered chunks are repaired individually: the
+    windowed pass runs anyway and the bad chunks' elements (wrong -> 0 in
+    the kernel) are re-resolved with a small (max_patch * C)-element
+    gather + scatter (~1 ms) instead of degrading the WHOLE stream to the
+    serialized 8.6 ns/elem gather (144 ms at 2^24).  This is what makes
+    segment-sorted probe streams (ops/sort.py:sort_segmented) viable: a
+    K-segment stream re-walks the value range K times, so expansion-keyed
+    lookups see ~K boundary chunks whose spread exceeds W.
     """
     values = values.view(U32) if values.dtype != U32 else values
     T = values.shape[0]
@@ -75,16 +84,42 @@ def safe_lookup(values: jax.Array, keys: jax.Array,
     kp = (jnp.concatenate([keys, jnp.full(pad, -1, I32)]) if pad else keys)
     vp = _pad_table(values, W)
 
+    # per-chunk coverage (same window policy as the kernel: chunk_bases)
+    k2 = kp.reshape(-1, C)
+    nchunks = k2.shape[0]
+    bases = chunk_bases(kp, vp.shape[0], C, W)
+    delta = k2 - bases[:, None]
+    in_range = (k2 >= 0) & (k2 < T)
+    covered = (~in_range) | ((delta >= 0) & (delta < 2 * W))
+    bad = ~jnp.all(covered, axis=1)                      # (nchunks,)
+    nbad = jnp.sum(bad.astype(I32))
+    cap = min(max_patch, nchunks)
+
     def windowed(_):
         return windowed_lookup(vp, kp, W=W, C=C)
 
-    def gather(_):
-        in_range = (kp >= 0) & (kp < T)
-        safe = jnp.clip(kp, 0, T - 1)
-        return jnp.where(in_range, values[safe], jnp.uint32(0))
+    def patched(_):
+        out = windowed_lookup(vp, kp, W=W, C=C)
+        bad_ids = jnp.nonzero(bad, size=cap, fill_value=nchunks)[0]
+        rows = (bad_ids.astype(I32)[:, None] * jnp.int32(C)
+                + jnp.arange(C, dtype=I32)[None, :])     # (cap, C)
+        safe_rows = jnp.clip(rows, 0, kp.shape[0] - 1)
+        pkeys = kp[safe_rows]
+        p_ok = (pkeys >= 0) & (pkeys < T)
+        pvals = jnp.where(p_ok, values[jnp.clip(pkeys, 0, T - 1)],
+                          jnp.uint32(0))
+        # fill ids scatter to rows >= len(kp): dropped
+        return out.at[rows.reshape(-1)].set(pvals.reshape(-1), mode="drop")
 
-    ok = windowed_coverage_ok(kp, vp.shape[0], W=W, C=C)
-    out = lax.cond(ok, windowed, gather, None)
+    def gather(_):
+        in_r = (kp >= 0) & (kp < T)
+        safe = jnp.clip(kp, 0, T - 1)
+        return jnp.where(in_r, values[safe], jnp.uint32(0))
+
+    def degraded(_):
+        return lax.cond(nbad <= cap, patched, gather, None)
+
+    out = lax.cond(nbad == 0, windowed, degraded, None)
     return out[:n] if pad else out
 
 
@@ -104,10 +139,36 @@ def stride_params(stride: float) -> tuple:
     return W, C
 
 
-def _sort_probes(pk: jax.Array):
-    """(sorted keys u32, original rows i32) -- the one sort of the strand."""
+def _sort_probes(pk: jax.Array, domain: int | None = None):
+    """(sorted keys u32, original rows i32) -- the one sort of the strand.
+
+    With a known key ``domain`` (the table's ``direct`` / ``key_direct``
+    extent) the global 2-op sort drops to a segmented batched sort
+    (ops/sort.py: 49.9 -> 38.2 ms at 2^24 probes over a 2^20 domain on
+    v5e): each segment covers the domain, so every window chunk still
+    spans <= W keys, segment boundaries align with window chunks, and
+    out-of-domain (miss) keys sort to each segment's tail exactly as they
+    sort to the global tail.  Downstream expansion-keyed lookups see ~K
+    uncovered boundary chunks, which safe_lookup patches individually.
+    """
+    from .sort import probe_sort_chunk, sort_segmented
     P = pk.shape[0]
-    return lax.sort((pk.astype(U32), jnp.arange(P, dtype=I32)), num_keys=1)
+    chunk = probe_sort_chunk(P, domain)
+    if chunk is None:
+        return lax.sort((pk.astype(U32), jnp.arange(P, dtype=I32)),
+                        num_keys=1)
+    return sort_segmented(pk.astype(U32), chunk)
+
+
+def _sort_bucket_ids(b: jax.Array, num_buckets: int) -> jax.Array:
+    """Ascending bucket-id stream for windowed chain-length sums; segmented
+    when profitable (the -1 dead markers sort to each segment's front,
+    where safe_lookup yields 0)."""
+    from .sort import probe_sort_chunk, sort_segmented_1op
+    chunk = probe_sort_chunk(b.shape[0], num_buckets)
+    if chunk is None:
+        return lax.sort((b.astype(I32),), num_keys=1)[0]
+    return sort_segmented_1op(b.astype(I32), chunk)
 
 
 def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
@@ -121,7 +182,7 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
     def walk(_):
         b = bucket_of(hash_key(skey_u32, hashfun), num_buckets)
         b = jnp.where(miss_mask, b, -1)        # live misses only
-        b_sorted = lax.sort((b.astype(I32),), num_keys=1)[0]
+        b_sorted = _sort_bucket_ids(b, num_buckets)
         return jnp.sum(safe_lookup(table_bucket_len, b_sorted)
                        .astype(jnp.int64))
 
@@ -152,7 +213,7 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     """
     direct = table.direct
     n = direct.shape[0]
-    skey, srow = _sort_probes(pk)
+    skey, srow = _sort_probes(pk, domain=n)
     sk = skey.astype(I32)  # keys >= 2^31 go negative = out-of-range = miss
 
     d = safe_lookup(direct, sk)
@@ -242,7 +303,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         srow = jnp.zeros(P, I32).at[pk.astype(I32)].set(
             jnp.arange(P, dtype=I32), mode="drop")
     elif mask is None:
-        skey, srow = _sort_probes(pk)
+        skey, srow = _sort_probes(pk, domain=table.key_direct.shape[0])
     sk = skey.astype(I32)
 
     if probes_iota or probes_permutation:
@@ -373,9 +434,9 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     # bucket stream is hash-ordered (not sorted): sort it once and ride the
     # windowed lookup -- still far cheaper than the serialized gather.
     b_s = bucket_of(hash_key(skey, tbl_s.hashfun), tbl_s.num_buckets)
-    bs_sorted = lax.sort((b_s.astype(U32),), num_keys=1)[0]
+    bs_sorted = _sort_bucket_ids(b_s.astype(I32), tbl_s.num_buckets)
     c_rs_cmp = jnp.sum(safe_lookup(
-        tbl_s.bucket_len, bs_sorted.astype(I32)).astype(jnp.int64))
+        tbl_s.bucket_len, bs_sorted).astype(jnp.int64))
 
     # materialize RS pairs (expansion #1)
     P = sk.shape[0]
@@ -473,7 +534,7 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
             (pk_m, mask.astype(I32), jnp.arange(P, dtype=I32)), num_keys=1)
         live_s = live_s > 0
     else:
-        skey, srow = _sort_probes(pk)
+        skey, srow = _sort_probes(pk, domain=table.key_direct.shape[0])
         live_s = None
     sk = skey.astype(I32)
 
@@ -506,7 +567,7 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
                       table.num_buckets).astype(I32)
         if live_s is not None:
             b = jnp.where(live_s, b, -1)
-        b_sorted = lax.sort((b,), num_keys=1)[0]
+        b_sorted = _sort_bucket_ids(b, table.num_buckets)
         cmps = jnp.sum(safe_lookup(
             table.bucket_len, b_sorted).astype(jnp.int64))
         row_by_p = None

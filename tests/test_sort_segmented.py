@@ -1,0 +1,207 @@
+"""Segmented probe sorts + chunk-patched windowed lookups.
+
+The probe strands' one global 2-op sort is the measured bound of every
+unsorted-probe pipeline (PERF.md).  ``ops/sort.py:sort_segmented`` replaces
+it with a batched within-segment sort when the key domain is known
+(tools/sortbench.py: 49.9 -> 38.2 ms at 2^24 over a 2^20 domain), and
+``safe_lookup``'s chunk patching keeps the downstream expansion lookups
+windowed across the ~K segment-boundary chunks.  These tests pin:
+
+* sort_segmented/sort_segmented_1op semantics (per-segment ordering, row
+  id recovery, miss keys at segment tails);
+* probe_sort_chunk's routing policy;
+* safe_lookup's patched path against brute force on adversarial streams;
+* full strand counters/result parity vs the python oracles when the
+  segmented paths are active (P large enough, domain small enough).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import hashjoin3d_tpu as hj
+from hashjoin3d_tpu.ops.sort import (probe_sort_chunk, sort_segmented,
+                                     sort_segmented_1op)
+from hashjoin3d_tpu.ops.strands_windowed import safe_lookup
+from oracle import ChainingOracle, NestedOracle
+
+I32 = np.int32
+U32 = np.uint32
+
+
+def test_probe_sort_chunk_policy():
+    # unknown domain -> global sort
+    assert probe_sort_chunk(1 << 24, None) is None
+    # canonical bench shape: 2^24 probes over 2^20 domain -> 16 segments
+    assert probe_sort_chunk(1 << 24, 1 << 20) == 1 << 20
+    # domain not a power of two rounds up
+    assert probe_sort_chunk(1 << 24, (1 << 20) - 3) == 1 << 20
+    # too few segments (< 8) to beat the monolithic sort
+    assert probe_sort_chunk(1 << 24, 1 << 22) is None
+    # indivisible P
+    assert probe_sort_chunk((1 << 20) + 512, 1 << 16) is None
+    # segment floor: window-chunk alignment
+    assert probe_sort_chunk(1 << 16, 16) == 1024
+    # segment count cap (max_k=64): tiny domain under a huge P
+    assert probe_sort_chunk(1 << 24, 16) == 1 << 18
+
+
+def test_sort_segmented_semantics():
+    rng = np.random.default_rng(0)
+    P, chunk = 8192, 1024
+    pk = rng.integers(0, 600, P, dtype=U32)
+    sk, sr = (np.asarray(x) for x in sort_segmented(jnp.asarray(pk), chunk))
+    for s in range(P // chunk):
+        seg = slice(s * chunk, (s + 1) * chunk)
+        # ascending within the segment
+        assert np.all(np.diff(sk[seg].astype(np.int64)) >= 0)
+        # row ids point back into this segment and recover the keys
+        assert np.all((sr[seg] >= s * chunk) & (sr[seg] < (s + 1) * chunk))
+        assert np.array_equal(pk[sr[seg]], sk[seg])
+    # global multiset preserved
+    assert np.array_equal(np.sort(sk), np.sort(pk))
+
+
+def test_sort_segmented_miss_keys_at_tails():
+    rng = np.random.default_rng(1)
+    P, chunk = 4096, 1024
+    pk = rng.integers(0, 512, P, dtype=U32)
+    miss = rng.choice(P, 100, replace=False)
+    pk[miss] = rng.integers(1 << 30, 1 << 31, 100)  # far out of domain
+    sk, sr = (np.asarray(x) for x in sort_segmented(jnp.asarray(pk), chunk))
+    for s in range(P // chunk):
+        seg = sk[s * chunk:(s + 1) * chunk]
+        big = seg >= 512
+        # miss keys occupy a contiguous tail of the segment
+        assert np.all(big == (np.arange(chunk) >= chunk - big.sum()))
+
+
+def test_sort_segmented_1op_dead_markers():
+    rng = np.random.default_rng(2)
+    P, chunk = 4096, 1024
+    b = rng.integers(0, 64, P).astype(I32)
+    b[rng.choice(P, 500, replace=False)] = -1
+    out = np.asarray(sort_segmented_1op(jnp.asarray(b), chunk))
+    for s in range(P // chunk):
+        seg = out[s * chunk:(s + 1) * chunk]
+        assert np.all(np.diff(seg) >= 0)  # -1s at the front
+    assert np.array_equal(np.sort(out), np.sort(b))
+
+
+def _brute(values, keys):
+    T = values.shape[0]
+    ok = (keys >= 0) & (keys < T)
+    return np.where(ok, values[np.clip(keys, 0, T - 1)], 0).astype(U32)
+
+
+def test_safe_lookup_patches_boundary_chunks():
+    """A segment-restarting key stream: most chunks covered, K-1 boundary
+    chunks straddle the wrap and must be patched, not degrade the whole
+    stream to the gather."""
+    rng = np.random.default_rng(3)
+    T = 1 << 14
+    values = rng.integers(1, 1 << 30, T).astype(U32)
+    K, seg = 8, 4096
+    # each segment sweeps the full value range; offsets misalign the
+    # wrap-around from the 1024-chunk grid -> uncovered boundary chunks
+    keys = np.concatenate([
+        np.sort(rng.integers(0, T, seg)).astype(I32)[
+            np.r_[np.arange(137, seg), np.arange(137)]]
+        for _ in range(K)])
+    out = np.asarray(safe_lookup(jnp.asarray(values), jnp.asarray(keys)))
+    assert np.array_equal(out, _brute(values, keys))
+
+
+def test_safe_lookup_gather_fallback_beyond_patch_budget():
+    """More uncovered chunks than max_patch -> exact via the full gather."""
+    rng = np.random.default_rng(4)
+    T = 1 << 14
+    values = rng.integers(1, 1 << 30, T).astype(U32)
+    keys = rng.integers(0, T, 1 << 15).astype(I32)  # fully random stream
+    out = np.asarray(safe_lookup(jnp.asarray(values), jnp.asarray(keys),
+                                 max_patch=4))
+    assert np.array_equal(out, _brute(values, keys))
+
+
+def test_safe_lookup_patch_with_misses_and_pad():
+    rng = np.random.default_rng(5)
+    T = 5000  # not a multiple of W: exercises table padding
+    values = rng.integers(1, 1 << 30, T).astype(U32)
+    n = 3 * 1024 + 700  # not a multiple of C: exercises key padding
+    keys = np.sort(rng.integers(0, T, n)).astype(I32)
+    keys[rng.choice(n, 50, replace=False)] = -1
+    keys[rng.choice(n, 50, replace=False)] = T + 17
+    # one artificial wrap to force a patch
+    keys[2048:2060] = np.arange(12, dtype=I32)
+    out = np.asarray(safe_lookup(jnp.asarray(values), jnp.asarray(keys)))
+    assert np.array_equal(out, _brute(values, keys))
+
+
+# -- full strands with segmentation active -----------------------------------
+
+
+def test_direct_strand_segmented_counters():
+    """Csr/CsrUU over a dense-direct table, P large enough that the
+    segmented sort engages (probe_sort_chunk != None)."""
+    rng = np.random.default_rng(6)
+    dom = 512
+    bk = rng.permutation(dom).astype(U32)
+    pk = rng.integers(0, 600, 8192, dtype=U32)  # ~15% misses
+    assert probe_sort_chunk(8192, dom) is not None
+
+    for unique in (False, True):
+        res = hj.join(bk, pk, how="chaining", unique=unique, num_buckets=64,
+                      backend="device")
+        orc = ChainingOracle(bk, 64)
+        pairs, matches, cmps = orc.probe(pk, unique=unique)
+        assert res.num_matches == matches
+        assert res.num_cmps == cmps
+        assert sorted(res.pairs()) == sorted(pairs)
+
+
+def test_keydirect_nested_strand_segmented_counters():
+    """Nrs expansion path with segment-restarting group-position streams:
+    the patched safe_lookup keeps build_row exact."""
+    rng = np.random.default_rng(7)
+    dom = 512
+    bk = rng.integers(0, dom, 4096, dtype=U32)  # ~8 rows per key
+    pk = rng.integers(0, 600, 8192, dtype=U32)
+    res = hj.join(bk, pk, how="nested", num_buckets=128, backend="device",
+                  key_domain=dom)
+    orc = NestedOracle(bk, 128)
+    nested, matches, cmps = orc.probe(pk)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(orc.unnest(nested))
+
+
+def test_keydirect_chaining_strand_segmented_counters():
+    rng = np.random.default_rng(8)
+    dom = 512
+    bk = rng.integers(0, dom, 4096, dtype=U32)
+    pk = rng.integers(0, 600, 8192, dtype=U32)
+    res = hj.join(bk, pk, how="chaining", num_buckets=128, backend="device",
+                  key_domain=dom)
+    orc = ChainingOracle(bk, 128)
+    pairs, matches, cmps = orc.probe(pk)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert sorted(res.pairs()) == sorted(pairs)
+
+
+def test_zipf_skewed_segmented():
+    """Heavy duplicate skew: segment spreads shrink, coverage trivially
+    holds; counters stay exact."""
+    rng = np.random.default_rng(9)
+    dom = 512
+    bk = rng.integers(0, dom, 2048, dtype=U32)
+    z = np.minimum((rng.pareto(1.2, 8192) * 3).astype(np.int64), dom - 1)
+    pk = z.astype(U32)
+    res = hj.join(bk, pk, how="nested", num_buckets=64, backend="device",
+                  key_domain=dom)
+    orc = NestedOracle(bk, 64)
+    nested, matches, cmps = orc.probe(pk)
+    assert res.num_matches == matches
+    assert res.num_cmps == cmps
+    assert res.num_results == len(orc.unnest(nested))
