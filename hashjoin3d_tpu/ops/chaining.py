@@ -332,31 +332,53 @@ def _build_chaining_dense(keys, num_buckets, full_chain_index=False,
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
                                    "key_domain", "early_exit_index",
-                                   "hashfun"))
+                                   "hashfun", "drop_pad_key"))
 def _build_chaining_fused(keys, cap, num_buckets, dense_direct,
                           key_domain=None, early_exit_index=True,
-                          hashfun="murmur"):
+                          hashfun="murmur", drop_pad_key=False, rows=None):
     from .layout import sort_with_rows
 
-    skey, srow, _ = sort_with_rows(keys)
+    if rows is None:
+        skey, srow, _ = sort_with_rows(keys)
+        rows_s = None
+    else:
+        # alternate emission ids (global rows on a distributed shard) ride
+        # the phase-1 sort; see nested._build_nested_fused
+        keys = keys.astype(canon_key_dtype(keys))
+        n = keys.shape[0]
+        skey, srow, rows_s = lax.sort(
+            (keys, jnp.arange(n, dtype=I32), rows.astype(I32)),
+            num_keys=1, is_stable=True)
     return _build_chaining_phase2(keys, skey, srow, cap, num_buckets,
                                   dense_direct, key_domain, early_exit_index,
-                                  hashfun)
+                                  hashfun, drop_pad_key, rows_s)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
                                    "key_domain", "early_exit_index",
-                                   "hashfun"))
+                                   "hashfun", "drop_pad_key"))
 def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
                            key_domain=None, early_exit_index=True,
-                           hashfun="murmur"):
-    from .layout import (compact_group_index, key_direct_index,
-                         run_boundaries, sorted_histogram)
+                           hashfun="murmur", drop_pad_key=False,
+                           row_values=None):
+    """``drop_pad_key``: rows carrying the all-ones key are dead (padded
+    shuffle receives) -- their group is zeroed and the rows enter no
+    bucket, making the compacted build shard_map-safe (see
+    nested._build_nested_phase2).  ``row_values``: key-sorted alternate
+    emission ids for ``group_rows`` AND ``group_chain_first`` (global rows
+    on a distributed shard; chain ORDER still follows the local arrival
+    positions)."""
+    from .layout import (compact_group_index, drop_pad_groups,
+                         key_direct_index, run_boundaries, sorted_histogram,
+                         ukey_pad)
 
     keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
     row = jnp.arange(n, dtype=I32)
-    groups = compact_group_index(keys, skey, srow, cap)
+    groups = compact_group_index(keys, skey, srow, cap,
+                                 row_values=row_values)
+    if drop_pad_key:
+        groups = drop_pad_groups(groups)
 
     if not early_exit_index and 2 * cap <= n:
         # Full-chain-walk probes read only bucket_len.  The histogram over
@@ -395,6 +417,10 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
 
     h = hash_key(keys, hashfun)
     b = bucket_of(h, num_buckets)
+    if drop_pad_key:
+        # dead rows (all-ones key) enter no bucket: park them past the last
+        # bucket, where sorted_histogram's scatter drops them
+        b = jnp.where(keys == ukey_pad(keys.dtype), num_buckets, b)
 
     # chain positions via bucket-run scans (gather-free); the bucket histogram
     # rides the same sort (sorted_histogram: bincount's scatter-add is ~35x
@@ -420,9 +446,15 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
         head = pos_first == 0
         group_min_pos = jnp.where(groups.group_len > 0,
                                   jnp.where(head, 0, pos_max), n)
+        if row_values is None:
+            first_emit, max_emit = groups.first_row, max_row
+        else:
+            # emit the SAME chosen rows in override (global) coordinates;
+            # chain order itself stays in local arrival positions
+            first_emit = row_values[jnp.minimum(groups.group_start, n - 1)]
+            max_emit = row_values[gs]
         group_chain_first = jnp.where(groups.group_len > 0,
-                                      jnp.where(head, groups.first_row,
-                                                max_row),
+                                      jnp.where(head, first_emit, max_emit),
                                       -1)
     else:
         # caller promises no IsBuildKeyUnique probes on this table: full-

@@ -187,13 +187,20 @@ def run_boundaries(skey: jax.Array, n_valid):
 
 @partial(jax.jit, static_argnames=("cap", "with_gid_by_row"))
 def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
-                        cap: int, with_gid_by_row: bool = False) -> GroupIndex:
+                        cap: int, with_gid_by_row: bool = False,
+                        row_values: jax.Array | None = None) -> GroupIndex:
     """Build a GroupIndex with *compacted* directory arrays (length ``cap``).
 
     Second phase of the two-phase host build: the caller sorted the keys
     (phase 1), read ``n_keys`` on the host, and picked a static ``cap``.  All
     group attributes scatter into the compact directory in ONE stacked write;
     large random gathers are avoided entirely (boundaries come from scans).
+
+    ``row_values``: alternate per-sorted-row ids to emit as ``group_rows``
+    (already key-sorted, i.e. rode the phase-1 sort as a payload).
+    Distributed builds pass the GLOBAL row ids here so probe strands emit
+    global coordinates directly -- without this, every shard-local result
+    row pays a serialized ~8.6 ns/elem id-mapping gather after the probe.
     """
     n = keys.shape[0]
     kd = skey.dtype
@@ -201,7 +208,7 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
     is_first, gid, run_start, run_len = run_boundaries(skey, jnp.int32(n))
 
     # group_rows in sorted order (see GroupIndex docstring / emit_pos)
-    group_rows = srow
+    group_rows = srow if row_values is None else row_values.astype(I32)
 
     # Directory via ONE narrow head-position scatter + cap-sized lookups.
     # (A single (n,4) stacked scatter looks tidy but XLA's multi-column
@@ -256,6 +263,28 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
         first_row=first_row,
         gid_by_row=gid_by_row,
         n_keys=jnp.maximum(gid[-1] + 1, 0).astype(I32),
+    )
+
+
+def drop_pad_groups(groups: "GroupIndex") -> "GroupIndex":
+    """Kill any group whose key is the all-ones pad value ``ukey_pad``.
+
+    Callers that park dead rows on the impossible key (padded shuffle
+    receives: ``parallel.shuffle.partition_exchange`` fills dead slots with
+    the all-ones key) can run the unmasked fused build and drop the one
+    sentinel group here: its ``group_len`` goes to 0 (so it enters no
+    bucket, matches no probe and expands to nothing) and ``n_keys`` stops
+    counting it.  Directory *padding* slots already carry the pad key with
+    ``group_len == 0`` and are unaffected.
+    """
+    import dataclasses
+    dead = groups.ukey == ukey_pad(groups.ukey.dtype)
+    live_sentinel = dead & (groups.group_len > 0)
+    return dataclasses.replace(
+        groups,
+        group_len=jnp.where(dead, 0, groups.group_len),
+        n_keys=(groups.n_keys
+                - jnp.sum(live_sentinel.astype(I32))).astype(I32),
     )
 
 

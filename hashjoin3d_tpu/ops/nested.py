@@ -300,26 +300,48 @@ def _build_nested_dense(keys, num_buckets, hashfun="murmur"):
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain", "hashfun"))
+                                   "key_domain", "hashfun", "drop_pad_key"))
 def _build_nested_fused(keys, cap, num_buckets, dense_direct,
-                        key_domain=None, hashfun="murmur"):
+                        key_domain=None, hashfun="murmur",
+                        drop_pad_key=False, rows=None):
     from .layout import sort_with_rows
 
-    skey, srow, _ = sort_with_rows(keys)
+    if rows is None:
+        skey, srow, _ = sort_with_rows(keys)
+        rows_s = None
+    else:
+        # ``rows`` (e.g. global row ids on a distributed shard) ride the
+        # phase-1 sort so group_rows emits them directly
+        keys = keys.astype(canon_key_dtype(keys))
+        n = keys.shape[0]
+        skey, srow, rows_s = lax.sort(
+            (keys, jnp.arange(n, dtype=I32), rows.astype(I32)),
+            num_keys=1, is_stable=True)
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
-                                dense_direct, key_domain, hashfun)
+                                dense_direct, key_domain, hashfun,
+                                drop_pad_key, rows_s)
 
 
 @partial(jax.jit, static_argnames=("cap", "num_buckets", "dense_direct",
-                                   "key_domain", "hashfun"))
+                                   "key_domain", "hashfun", "drop_pad_key"))
 def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
-                         key_domain=None, hashfun="murmur"):
-    from .layout import (compact_group_index, key_direct_index,
-                         run_boundaries)
+                         key_domain=None, hashfun="murmur",
+                         drop_pad_key=False, row_values=None):
+    """``drop_pad_key``: rows carrying the all-ones key are dead (padded
+    shuffle receives); their group is zeroed (layout.drop_pad_groups) so
+    they enter no bucket and match nothing -- the shard_map-safe compacted
+    build (the host builds' fast path, usable under jit because ``cap`` is
+    static).  ``row_values``: key-sorted alternate ids for ``group_rows``
+    (see layout.compact_group_index)."""
+    from .layout import (compact_group_index, drop_pad_groups,
+                         key_direct_index, run_boundaries)
 
     keys = keys.astype(canon_key_dtype(keys))
     n = keys.shape[0]
-    groups = compact_group_index(keys, skey, srow, cap)
+    groups = compact_group_index(keys, skey, srow, cap,
+                                 row_values=row_values)
+    if drop_pad_key:
+        groups = drop_pad_groups(groups)
 
     h_main = hash_key(groups.ukey, hashfun)
     validg = groups.group_len > 0

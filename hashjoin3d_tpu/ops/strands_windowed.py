@@ -265,11 +265,12 @@ def _keydirect_probe(table, sk, skey_u32, g=None, live=None):
 
 
 @partial(jax.jit, static_argnames=("out_size", "do_unnest", "probes_iota",
-                                   "probes_permutation"))
+                                   "probes_permutation", "presorted"))
 def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
                                    probes_iota=False,
                                    probes_permutation=False,
-                                   mask=None):
+                                   mask=None, presorted=False,
+                                   srow_values=None):
     """Windowed Nrs / NrsNU probe strand (key_direct nested tables).
 
     The sorted group-id stream makes every per-group array access windowed;
@@ -282,11 +283,29 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     main_experiment1.cc:425-428) -- the sorted keys are then the identity
     and the key_direct image needs no lookup at all.  ``mask`` marks live
     probe rows (padded shuffle outputs inside shard_map): dead rows hit
-    nothing and contribute no comparisons.
+    nothing and contribute no comparisons.  ``presorted=True`` skips the
+    probe sort entirely: the caller promises ``pk`` is already sorted --
+    globally or blockwise (``partition_exchange(sort_within_dest=True)``
+    receive streams, circulated ring chunks) -- with any dead rows (mask
+    False) carrying the all-ones key; safe_lookup patches the few
+    segment-boundary window chunks a blockwise stream produces.
+    ``srow_values`` (presorted only) replaces the emitted probe ids: pass
+    the global row-id payload of a shuffle receive and ``probe_row`` comes
+    out in global coordinates directly, skipping the serialized id-mapping
+    gather the caller would otherwise pay per result row.
     """
     P = pk.shape[0]
     live_s = None
-    if mask is not None:
+    if presorted:
+        assert not (probes_iota or probes_permutation)
+        if mask is None:
+            skey = pk.astype(U32)
+        else:
+            skey = jnp.where(mask, pk.astype(U32), jnp.uint32(0xFFFFFFFF))
+            live_s = mask
+        srow = (jnp.arange(P, dtype=I32) if srow_values is None
+                else srow_values.astype(I32))
+    elif mask is not None:
         assert not (probes_iota or probes_permutation)
         # dead rows travel as the all-ones key (sorts last, i32-views to
         # -1 = miss); liveness rides the sort to gate the miss-cmps count
@@ -511,9 +530,10 @@ def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
     )
 
 
-@partial(jax.jit, static_argnames=("out_size", "unique"))
+@partial(jax.jit, static_argnames=("out_size", "unique", "presorted"))
 def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
-                                     mask=None):
+                                     mask=None, presorted=False,
+                                     srow_values=None):
     """Windowed Crs-style probe strand (key_direct chaining table,
     ``algebra.hh:625-659``).
 
@@ -523,12 +543,22 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
     match in chain order and at most one pair is emitted per probe
     (``group_chain_first`` / ``group_min_pos``, as in probe_chaining).
     ``mask`` marks live probe rows (padded shuffle outputs inside
-    shard_map).  Emission rides the nested strand's expansion machinery;
-    the comparison count's bucket stream is hash-ordered, so it gets its
-    own sort + windowed pass.
+    shard_map).  ``presorted=True``: the stream is already (block-)sorted
+    with dead rows on the all-ones key -- no probe sort (see
+    keydirect_nested_strand_sorted).  Emission rides the nested strand's
+    expansion machinery; the comparison count's bucket stream is
+    hash-ordered, so it gets its own sort + windowed pass.
     """
     P = pk.shape[0]
-    if mask is not None:
+    if presorted:
+        if mask is None:
+            skey, live_s = pk.astype(U32), None
+        else:
+            skey = jnp.where(mask, pk.astype(U32), jnp.uint32(0xFFFFFFFF))
+            live_s = mask
+        srow = (jnp.arange(P, dtype=I32) if srow_values is None
+                else srow_values.astype(I32))
+    elif mask is not None:
         pk_m = jnp.where(mask, pk.astype(U32), jnp.uint32(0xFFFFFFFF))
         skey, live_s, srow = lax.sort(
             (pk_m, mask.astype(I32), jnp.arange(P, dtype=I32)), num_keys=1)

@@ -48,7 +48,8 @@ def _global_rows(n_local: int, axis: str) -> jax.Array:
 def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                      build_capacity: int, probe_capacity: int,
                      out_capacity: int, axis: str = SHARD_AXIS,
-                     key_domain: int | None = None):
+                     key_domain: int | None = None,
+                     n_keys: int | None = None):
     """Build a jitted distributed 3D-hash-join step.
 
     Returns ``step(build_keys, probe_keys) -> dict`` where the key columns are
@@ -59,43 +60,71 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
 
     ``key_domain`` (a static upper bound on key values + 1, when known)
     switches the shard-local probe to the windowed sorted strand
-    (ops/strands_windowed.py): each shard builds a dense key->group index
-    and resolves its received probes with Pallas windowed lookups instead
-    of XLA's serialized gathers -- the same rewrite that took the
-    single-chip probes 5x (PERF.md), applied per shard.
+    (ops/strands_windowed.py) -- the same rewrite that took the
+    single-chip probes 5x (PERF.md), applied per shard.  The probe
+    exchange then also key-sorts within each destination
+    (``sort_within_dest``), so received streams arrive blockwise sorted
+    and the strand runs with NO local re-sort (``presorted``), and the
+    global probe ids ride the strand's windowed ``srow`` lookup instead
+    of a serialized out_capacity-sized mapping gather.
+
+    ``n_keys`` (a static upper bound on DISTINCT keys received per shard,
+    when known -- e.g. ``min(global distinct keys, key_domain)``) switches
+    the shard-local build to the fused *compacted* two-phase build
+    (``ops.nested._build_nested_fused``): directory arrays shrink from
+    receive-capacity size to ~n_keys, dead receive slots die by their
+    all-ones fill key (``drop_pad_key``), and the global build row ids
+    ride the build sort so results emit global coordinates directly.
+    Together these remove most of the distributed path's overhead over
+    the single-chip engine (tools/dist_overhead.py; PERF.md).
     """
     ns = mesh.shape[axis]
 
     def step(build_keys, probe_keys):
         nb_local = build_keys.shape[0]
         np_local = probe_keys.shape[0]
+        fast = key_domain is not None
 
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
             ns, build_capacity)
-        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
-                             key_domain=key_domain)
+        if n_keys is not None:
+            from ..ops.layout import group_capacity
+            from ..ops.nested import _build_nested_fused
+            cap = group_capacity(n_keys + 1, bkeys.shape[0])  # +1: sentinel pad group
+            table = _build_nested_fused(
+                bkeys, cap, num_buckets_per_shard, False,
+                key_domain=key_domain, drop_pad_key=True, rows=bpay["row"])
+        else:
+            table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
+                                 key_domain=key_domain)
 
         pkeys, ppay, pvalid, povf = partition_exchange(
             axis, probe_keys, {"row": _global_rows(np_local, axis)},
-            ns, probe_capacity)
+            ns, probe_capacity, sort_within_dest=fast)
 
-        if key_domain is not None:
+        if fast:
             from ..ops.strands_windowed import keydirect_nested_strand_sorted
             out = keydirect_nested_strand_sorted(
-                table, pkeys, out_capacity, mask=pvalid)
+                table, pkeys, out_capacity, mask=pvalid, presorted=True,
+                srow_values=ppay["row"])
             prow_l, brow_l = out["probe_row"], out["build_row"]
             ovalid = prow_l >= 0
             total = out["c_unnest"]
             n_matches, n_cmps = out["c_htProbe"], out["c_htProbeCmp"]
+            probe_row = prow_l  # already global via srow_values
         else:
             res = probe_nested(table, pkeys, mask=pvalid)
             prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
             n_matches, n_cmps = res.num_matches, res.num_cmps
+            probe_row = jnp.where(ovalid,
+                                  ppay["row"][jnp.maximum(prow_l, 0)], -1)
 
-        # map shard-local ids back to global row ids
-        probe_row = jnp.where(ovalid, ppay["row"][jnp.maximum(prow_l, 0)], -1)
-        build_row = jnp.where(ovalid, bpay["row"][jnp.maximum(brow_l, 0)], -1)
+        if n_keys is not None:
+            build_row = brow_l  # group_rows carry global ids (rows=...)
+        else:
+            build_row = jnp.where(ovalid,
+                                  bpay["row"][jnp.maximum(brow_l, 0)], -1)
 
         return dict(
             num_matches=lax.psum(n_matches, axis),
@@ -124,41 +153,61 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
                        build_capacity: int, probe_capacity: int,
                        out_capacity: int, unique: bool = False,
                        axis: str = SHARD_AXIS,
-                       key_domain: int | None = None):
+                       key_domain: int | None = None,
+                       n_keys: int | None = None):
     """Distributed chaining hash join; see :func:`dist_nested_join`
-    (``key_domain`` likewise enables the windowed shard-local probe)."""
+    (``key_domain`` likewise enables the presorted windowed shard-local
+    probe; ``n_keys`` the fused compacted shard build with global-id
+    emission, including the ``unique`` early-exit index)."""
     ns = mesh.shape[axis]
 
     def step(build_keys, probe_keys):
         nb_local = build_keys.shape[0]
         np_local = probe_keys.shape[0]
+        fast = key_domain is not None
 
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
             ns, build_capacity)
-        table = build_chaining(bkeys, num_buckets_per_shard, valid=bvalid,
-                               key_domain=key_domain)
+        if n_keys is not None:
+            from ..ops.chaining import _build_chaining_fused
+            from ..ops.layout import group_capacity
+            cap = group_capacity(n_keys + 1, bkeys.shape[0])  # +1: sentinel pad group
+            table = _build_chaining_fused(
+                bkeys, cap, num_buckets_per_shard, False,
+                key_domain=key_domain, drop_pad_key=True, rows=bpay["row"],
+                early_exit_index=unique)
+        else:
+            table = build_chaining(bkeys, num_buckets_per_shard,
+                                   valid=bvalid, key_domain=key_domain)
 
         pkeys, ppay, pvalid, povf = partition_exchange(
             axis, probe_keys, {"row": _global_rows(np_local, axis)},
-            ns, probe_capacity)
+            ns, probe_capacity, sort_within_dest=fast)
 
-        if key_domain is not None:
+        if fast:
             from ..ops.strands_windowed import (
                 keydirect_chaining_strand_sorted)
             out_k = keydirect_chaining_strand_sorted(
-                table, pkeys, out_capacity, unique=unique, mask=pvalid)
+                table, pkeys, out_capacity, unique=unique, mask=pvalid,
+                presorted=True, srow_values=ppay["row"])
             prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
             ovalid = prow_l >= 0
             total = out_k["total"]
             n_matches, n_cmps = out_k["c_htProbe"], out_k["c_htProbeCmp"]
+            probe_row = prow_l  # already global via srow_values
         else:
             res = probe_chaining(table, pkeys, unique=unique, mask=pvalid)
             prow_l, brow_l, ovalid, total = materialize_chaining_join(
                 table, res, out_capacity, unique=unique)
             n_matches, n_cmps = res.num_matches, res.num_cmps
-        probe_row = jnp.where(ovalid, ppay["row"][jnp.maximum(prow_l, 0)], -1)
-        build_row = jnp.where(ovalid, bpay["row"][jnp.maximum(brow_l, 0)], -1)
+            probe_row = jnp.where(ovalid,
+                                  ppay["row"][jnp.maximum(prow_l, 0)], -1)
+        if n_keys is not None:
+            build_row = brow_l  # group_rows/chain_first carry global ids
+        else:
+            build_row = jnp.where(ovalid,
+                                  bpay["row"][jnp.maximum(brow_l, 0)], -1)
 
         return dict(
             num_matches=lax.psum(n_matches, axis),

@@ -46,9 +46,17 @@ def make_mesh_2d(n_hosts: int, chips_per_host: int,
 
 
 def _exchange_1hop(axis_name: str, dest: jax.Array, cols: list[jax.Array],
-                   num_groups: int, capacity: int, valid: jax.Array):
+                   num_groups: int, capacity: int, valid: jax.Array,
+                   sort_by_u32_cols: int = 0):
     """Route rows to ``dest`` along one mesh axis (same scheme as
     shuffle.partition_exchange, but payload-list based and validity-aware).
+
+    ``sort_by_u32_cols``: additionally order rows by the first k cols
+    WITHIN each destination, comparing them as u32 bit patterns (the key
+    halves travel as i32 views; an i32 compare would order 0x8.. before
+    0x0..).  Each receive block then arrives ascending with its dead
+    slots -- the all-ones fill -- at the tail, i.e. the presorted layout
+    the windowed probe strands consume without a local re-sort.
 
     Returns ``(cols_recv, valid_recv, n_dropped)`` with recv length
     ``num_groups * capacity``.
@@ -56,9 +64,13 @@ def _exchange_1hop(axis_name: str, dest: jax.Array, cols: list[jax.Array],
     n = dest.shape[0]
     dest = jnp.where(valid, dest, num_groups)
 
-    ops = (dest,) + tuple(c.astype(I32) for c in cols)
-    sorted_ops = lax.sort(ops, num_keys=1, is_stable=True)
-    dest_s, cols_s = sorted_ops[0], sorted_ops[1:]
+    k = sort_by_u32_cols
+    ops = ((dest,) + tuple(c.view(U32) for c in cols[:k])
+           + tuple(c.astype(I32) for c in cols[k:]))
+    sorted_ops = lax.sort(ops, num_keys=1 + k, is_stable=True)
+    dest_s = sorted_ops[0]
+    cols_s = ([c.view(I32) for c in sorted_ops[1:1 + k]]
+              + list(sorted_ops[1 + k:]))
 
     # scan-based within-destination rank (no bincount: see shuffle.py)
     from ..ops.layout import run_boundaries
@@ -87,11 +99,16 @@ def _exchange_1hop(axis_name: str, dest: jax.Array, cols: list[jax.Array],
 
 def hier_exchange(keys: jax.Array, payload_rows: jax.Array,
                   n_hosts: int, n_chips: int, capacity1: int, capacity2: int,
-                  valid: jax.Array | None = None):
+                  valid: jax.Array | None = None,
+                  sort_within_dest: bool = False):
     """Two-hop hierarchical exchange to each key's owning (host, chip).
 
     ``capacity1`` bounds rows accepted per (sender, chip-column) in the ICI
     hop; ``capacity2`` per (chip-column holder, dst host) in the DCN hop.
+    ``sort_within_dest``: the final (DCN) hop also key-orders rows within
+    each destination, so the receive stream arrives as ``n_hosts``
+    ascending blocks with all-ones dead tails -- consumable presorted by
+    the windowed strands (see shuffle.partition_exchange).
     Returns ``(keys_r, rows_r, valid_r, overflow)``; overflow is psum'd over
     the whole mesh.
     """
@@ -124,7 +141,8 @@ def hier_exchange(keys: jax.Array, payload_rows: jax.Array,
 
     recv2, valid2, drop2 = _exchange_1hop(
         HOST_AXIS, jnp.maximum(hostd1, 0), kc1 + [rows1], n_hosts,
-        capacity2, valid1)
+        capacity2, valid1,
+        sort_by_u32_cols=nkc if sort_within_dest else 0)
     kc2, rows2 = recv2[:nkc], recv2[nkc]
 
     if wide:
@@ -138,14 +156,19 @@ def hier_exchange(keys: jax.Array, payload_rows: jax.Array,
 
 def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
                         build_capacity: int, probe_capacity: int,
-                        out_capacity: int, key_domain: int | None = None):
+                        out_capacity: int, key_domain: int | None = None,
+                        n_keys: int | None = None):
     """Distributed 3D join over a (host, chip) mesh with hierarchical exchange.
 
     Same output contract as ``dist_join.dist_nested_join``; the only
     difference is the two-hop routing.  ``*_capacity`` are per-hop, per-group
     bounds (the DCN hop uses 2x the per-group bound: a chip column aggregates
     a whole host's rows for each destination host).  ``key_domain`` enables
-    the windowed shard-local probe, as in the flat join.
+    the windowed shard-local probe -- presorted over the key-ordered DCN
+    receive, with the global probe ids riding the strand's srow lookup --
+    and ``n_keys`` (static per-shard distinct-key bound) the fused
+    compacted shard build emitting global build ids, both exactly as in
+    the flat join (see dist_join.dist_nested_join).
     """
     n_hosts = mesh.shape[HOST_AXIS]
     n_chips = mesh.shape[CHIP_AXIS]
@@ -153,6 +176,7 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
     def step(build_keys, probe_keys):
         nb_local = build_keys.shape[0]
         np_local = probe_keys.shape[0]
+        fast = key_domain is not None
 
         def grows(n_local):
             base = (lax.axis_index(HOST_AXIS).astype(jnp.int32) * n_chips
@@ -162,26 +186,40 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
         bkeys, brows, bvalid, bovf = hier_exchange(
             build_keys, grows(nb_local), n_hosts, n_chips,
             build_capacity, 2 * build_capacity)
-        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
-                             key_domain=key_domain)
+        if n_keys is not None:
+            from ..ops.layout import group_capacity
+            from ..ops.nested import _build_nested_fused
+            cap = group_capacity(n_keys + 1, bkeys.shape[0])  # +1: pad group
+            table = _build_nested_fused(
+                bkeys, cap, num_buckets_per_shard, False,
+                key_domain=key_domain, drop_pad_key=True, rows=brows)
+        else:
+            table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
+                                 key_domain=key_domain)
 
         pkeys, prows, pvalid, povf = hier_exchange(
             probe_keys, grows(np_local), n_hosts, n_chips,
-            probe_capacity, 2 * probe_capacity)
-        if key_domain is not None:
+            probe_capacity, 2 * probe_capacity, sort_within_dest=fast)
+        if fast:
             from ..ops.strands_windowed import keydirect_nested_strand_sorted
             out_k = keydirect_nested_strand_sorted(
-                table, pkeys, out_capacity, mask=pvalid)
+                table, pkeys, out_capacity, mask=pvalid, presorted=True,
+                srow_values=prows)
             prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
             ovalid = prow_l >= 0
             total = out_k["c_unnest"]
             n_matches, n_cmps = out_k["c_htProbe"], out_k["c_htProbeCmp"]
+            probe_row = prow_l  # already global via srow_values
         else:
             res = probe_nested(table, pkeys, mask=pvalid)
             prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
             n_matches, n_cmps = res.num_matches, res.num_cmps
-        probe_row = jnp.where(ovalid, prows[jnp.maximum(prow_l, 0)], -1)
-        build_row = jnp.where(ovalid, brows[jnp.maximum(brow_l, 0)], -1)
+            probe_row = jnp.where(ovalid, prows[jnp.maximum(prow_l, 0)], -1)
+        if n_keys is not None:
+            build_row = brow_l  # group_rows carry global ids (rows=...)
+        else:
+            build_row = jnp.where(ovalid,
+                                  brows[jnp.maximum(brow_l, 0)], -1)
 
         def allsum(x):
             return lax.psum(lax.psum(x, CHIP_AXIS), HOST_AXIS)

@@ -49,7 +49,8 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                           build_capacity: int, out_capacity: int,
                           step_out_capacity: int | None = None,
                           axis: str = SHARD_AXIS, prefetch: bool = True,
-                          key_domain: int | None = None):
+                          key_domain: int | None = None,
+                          n_keys: int | None = None):
     """Build a jitted ring-scheduled distributed 3D hash join step.
 
     Returns ``step(build_keys, probe_keys) -> dict`` (same contract as
@@ -70,7 +71,12 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
     ``prefetch=False`` keeps the strictly sequential probe->hop order for
     comparison.  ``key_domain`` (static key bound, when known) switches each
     visit's local probe to the windowed sorted strand, exactly as in
-    ``dist_nested_join``.
+    ``dist_nested_join`` -- and the chunk is sorted ONCE at home before
+    entering the ring, so all ``n_shards`` visits probe presorted with no
+    per-hop re-sort (the sorted keys and their global row ids circulate
+    together).  ``n_keys`` (static per-shard distinct-key bound) switches
+    the resident build to the fused compacted build emitting global build
+    ids, as in ``dist_nested_join``.
     """
     ns = mesh.shape[axis]
     step_cap = out_capacity if step_out_capacity is None else step_out_capacity
@@ -84,12 +90,27 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
             ns, build_capacity)
-        table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
-                             key_domain=key_domain)
+        if n_keys is not None:
+            from ..ops.layout import group_capacity
+            from ..ops.nested import _build_nested_fused
+            cap = group_capacity(n_keys + 1, bkeys.shape[0])  # +1: sentinel pad group
+            table = _build_nested_fused(
+                bkeys, cap, num_buckets_per_shard, False,
+                key_domain=key_domain, drop_pad_key=True, rows=bpay["row"])
+        else:
+            table = build_nested(bkeys, num_buckets_per_shard, valid=bvalid,
+                                 key_domain=key_domain)
 
         # Probe side: the local chunk starts at home and rides the ring.
         vkeys = probe_keys
         vrow = _global_rows(np_local, axis)
+        if key_domain is not None:
+            # sort once at home; every ring visit then probes presorted.
+            # vrow is base + iota, so the sorted global ids come from the
+            # sort's row payload arithmetically (no gather).
+            from ..ops.strands_windowed import _sort_probes
+            vkeys, sr = _sort_probes(vkeys, domain=key_domain)
+            vrow = lax.axis_index(axis).astype(jnp.int32) * np_local + sr
 
         out_p = jnp.full(out_capacity, -1, I32)
         out_b = jnp.full(out_capacity, -1, I32)
@@ -109,18 +130,27 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             if key_domain is not None:
                 from ..ops.strands_windowed import (
                     keydirect_nested_strand_sorted)
-                out_k = keydirect_nested_strand_sorted(table, vkeys, step_cap)
+                # chunk is (block-)sorted since home: no per-hop re-sort,
+                # and the circulating global ids ride the strand's srow
+                # lookup so probe_row comes out global directly
+                out_k = keydirect_nested_strand_sorted(
+                    table, vkeys, step_cap, presorted=True,
+                    srow_values=vrow)
                 prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
                 ovalid = prow_l >= 0
                 total = out_k["c_unnest"]
                 step_matches, step_cmps = out_k["c_htProbe"], \
                     out_k["c_htProbeCmp"]
+                prow_g = prow_l
             else:
                 res = probe_nested(table, vkeys)
                 prow_l, brow_l, ovalid, total = unnest(table, res, step_cap)
                 step_matches, step_cmps = res.num_matches, res.num_cmps
-            prow_g = vrow[jnp.maximum(prow_l, 0)]
-            brow_g = bpay["row"][jnp.maximum(brow_l, 0)]
+                prow_g = vrow[jnp.maximum(prow_l, 0)]
+            if n_keys is not None:
+                brow_g = brow_l  # group_rows carry global ids (rows=...)
+            else:
+                brow_g = bpay["row"][jnp.maximum(brow_l, 0)]
 
             # Append this step's valid rows at the running offset.  unnest()
             # materializes at most step_cap rows but reports the true total;

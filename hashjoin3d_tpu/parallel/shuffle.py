@@ -41,17 +41,30 @@ def shard_of_key(keys: jax.Array, num_shards: int) -> jax.Array:
 
 def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
                        num_shards: int, capacity: int,
-                       valid: jax.Array | None = None):
+                       valid: jax.Array | None = None,
+                       sort_within_dest: bool = False):
     """Exchange rows to their key-owning shards.
 
     Args (all per-device local views, inside shard_map):
       keys:     u32[n] or u64[n] join keys (u64 ships as (hi, lo) u32 halves)
       payloads: dict of i32/u32[n] columns to ship alongside (e.g. global row ids)
       capacity: static max rows accepted per (src, dst) pair
+      sort_within_dest: also order rows by KEY within each destination (the
+        partition sort gains the key columns as extra sort keys).  The
+        receive stream then arrives *blockwise sorted*: ``num_shards``
+        blocks of ``capacity``, each ascending with its dead slots --
+        filled with the impossible key ``0xFF..F`` -- at the block tail.
+        That is exactly the segment-sorted layout of
+        ``ops.sort.sort_segmented``, so a windowed probe strand can
+        consume the received keys with NO local re-sort
+        (``presorted=True``; safe_lookup patches the ~num_shards segment
+        boundary chunks).
 
     Returns ``(keys_recv, payloads_recv, valid_recv, overflow)`` where the recv
     arrays have length ``num_shards * capacity`` and ``overflow`` is the global
     number of dropped rows (psum'd; must be 0 for a lossless exchange).
+    Dead receive slots always carry the all-ones key (``ukey_pad``: a value
+    the key domain cannot contain), never a legitimate-looking 0.
     """
     n = keys.shape[0]
     keys = keys.astype(canon_key_dtype(keys))
@@ -70,7 +83,8 @@ def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
     else:
         key_cols = (keys,)
     ops = (dest,) + key_cols + tuple(payloads[k].astype(I32) for k in names)
-    sorted_ops = lax.sort(ops, num_keys=1, is_stable=True)
+    nsort = 1 + len(key_cols) if sort_within_dest else 1
+    sorted_ops = lax.sort(ops, num_keys=nsort, is_stable=True)
     dest_s = sorted_ops[0]
     key_cols_s = sorted_ops[1:1 + len(key_cols)]
     payload_s = sorted_ops[1 + len(key_cols):]
@@ -92,7 +106,7 @@ def partition_exchange(axis_name: str, keys: jax.Array, payloads: dict,
         buf = jnp.full(num_shards * capacity, fill, col.dtype)
         return buf.at[tgt].set(col, mode="drop").reshape(num_shards, capacity)
 
-    send_key_cols = [pack(c, jnp.uint32(0)) for c in key_cols_s]
+    send_key_cols = [pack(c, jnp.uint32(0xFFFFFFFF)) for c in key_cols_s]
     send_valid = pack(fits.astype(I32), 0)
     send_payloads = [pack(c, -1) for c in payload_s]
 

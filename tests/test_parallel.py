@@ -613,3 +613,144 @@ def test_dist_chaining_windowed_probe_matches_default(mesh, unique):
     for k in ("num_matches", "num_cmps", "num_results"):
         assert int(win[k]) == int(base[k]), k
     assert _pairs(win) == _pairs(base)
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_dist_nested_join_fast_path_matches_default(mesh, skewed):
+    """n_keys + key_domain: fused compacted shard builds (sentinel pad
+    groups dropped, global build ids riding the build sort) + presorted
+    windowed probe over the key-sorted exchange == default path == oracle,
+    counters included."""
+    from hashjoin3d_tpu.parallel import dist_nested_join
+
+    rng = np.random.default_rng(97)
+    n_b, n_p = 1024, 2048
+    if skewed:
+        bk = np.minimum(rng.zipf(1.2, n_b), 300).astype(np.uint32)
+    else:
+        bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    args = (jax.device_put(bk, sh), jax.device_put(pk, sh))
+
+    base = dist_nested_join(mesh, num_buckets_per_shard=64,
+                            build_capacity=n_b, probe_capacity=n_p,
+                            out_capacity=16 * n_p)(*args)
+    fast = dist_nested_join(mesh, num_buckets_per_shard=64,
+                            build_capacity=n_b, probe_capacity=n_p,
+                            out_capacity=16 * n_p, key_domain=600,
+                            n_keys=600)(*args)
+    assert int(fast["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(fast[k]) == int(base[k]), k
+    assert _pairs(fast) == _pairs(base) == _oracle_pairs(bk, pk)
+
+
+def test_dist_nested_join_n_keys_without_key_domain(mesh):
+    """n_keys alone: fused compacted build + default (gather) probe."""
+    from hashjoin3d_tpu.parallel import dist_nested_join
+
+    rng = np.random.default_rng(101)
+    n_b, n_p = 512, 1024
+    bk = rng.integers(0, 300, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 400, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    args = (jax.device_put(bk, sh), jax.device_put(pk, sh))
+
+    base = dist_nested_join(mesh, num_buckets_per_shard=32,
+                            build_capacity=n_b, probe_capacity=n_p,
+                            out_capacity=16 * n_p)(*args)
+    fast = dist_nested_join(mesh, num_buckets_per_shard=32,
+                            build_capacity=n_b, probe_capacity=n_p,
+                            out_capacity=16 * n_p, n_keys=300)(*args)
+    assert int(fast["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(fast[k]) == int(base[k]), k
+    assert _pairs(fast) == _pairs(base) == _oracle_pairs(bk, pk)
+
+
+@pytest.mark.parametrize("unique", [False, True])
+def test_dist_chaining_join_fast_path_matches_default(mesh, unique):
+    """Chaining fast path (fused compacted build incl. the early-exit
+    index with global-id chain heads) == default, both probe modes."""
+    from hashjoin3d_tpu.parallel import dist_chaining_join
+
+    rng = np.random.default_rng(103)
+    n_b, n_p = 1024, 2048
+    if unique:
+        bk = rng.permutation(2048)[:n_b].astype(np.uint32)
+        dom, nk = 2048, 2048
+    else:
+        bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+        dom, nk = 600, 500
+    pk = rng.integers(0, dom, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    args = (jax.device_put(bk, sh), jax.device_put(pk, sh))
+
+    base = dist_chaining_join(mesh, num_buckets_per_shard=64,
+                              build_capacity=n_b, probe_capacity=n_p,
+                              out_capacity=16 * n_p, unique=unique)(*args)
+    fast = dist_chaining_join(mesh, num_buckets_per_shard=64,
+                              build_capacity=n_b, probe_capacity=n_p,
+                              out_capacity=16 * n_p, unique=unique,
+                              key_domain=dom, n_keys=nk)(*args)
+    assert int(fast["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_results"):
+        assert int(fast[k]) == int(base[k]), k
+    assert _pairs(fast) == _pairs(base)
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_ring_join_fast_path_matches_default(mesh, skewed):
+    """Ring fast path: chunk sorted once at home (global ids circulate
+    with it), fused resident builds == default ring == oracle."""
+    from hashjoin3d_tpu.parallel import dist_ring_nested_join
+
+    rng = np.random.default_rng(107)
+    n_b, n_p = 1024, 2048
+    if skewed:
+        bk = np.minimum(rng.zipf(1.2, n_b), 300).astype(np.uint32)
+    else:
+        bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    sh = shard_axis(mesh)
+    args = (jax.device_put(bk, sh), jax.device_put(pk, sh))
+
+    base = dist_ring_nested_join(
+        mesh, num_buckets_per_shard=64, build_capacity=n_b,
+        out_capacity=16 * n_p, step_out_capacity=8 * n_p)(*args)
+    fast = dist_ring_nested_join(
+        mesh, num_buckets_per_shard=64, build_capacity=n_b,
+        out_capacity=16 * n_p, step_out_capacity=8 * n_p,
+        key_domain=600, n_keys=600)(*args)
+    assert int(fast["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(fast[k]) == int(base[k]), k
+    assert _pairs(fast) == _pairs(base) == _oracle_pairs(bk, pk)
+
+
+def test_hier_2d_join_fast_path_matches_default(mesh):
+    """2D hierarchical fast path: key-ordered DCN receive blocks consumed
+    presorted + fused compacted shard builds == default 2D == oracle."""
+    from hashjoin3d_tpu.parallel import dist_nested_join_2d, make_mesh_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(109)
+    n_b, n_p = 1024, 2048
+    bk = rng.integers(0, 500, n_b, dtype=np.uint32)
+    pk = rng.integers(0, 600, n_p, dtype=np.uint32)
+    mesh2 = make_mesh_2d(2, 4)
+    sh2 = NamedSharding(mesh2, P(("host", "chip")))
+    args = (jax.device_put(bk, sh2), jax.device_put(pk, sh2))
+
+    base = dist_nested_join_2d(mesh2, num_buckets_per_shard=64,
+                               build_capacity=n_b, probe_capacity=n_p,
+                               out_capacity=16 * n_p)(*args)
+    fast = dist_nested_join_2d(mesh2, num_buckets_per_shard=64,
+                               build_capacity=n_b, probe_capacity=n_p,
+                               out_capacity=16 * n_p, key_domain=600,
+                               n_keys=600)(*args)
+    assert int(fast["overflow"]) == 0
+    for k in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(fast[k]) == int(base[k]), k
+    assert _pairs(fast) == _pairs(base) == _oracle_pairs(bk, pk)

@@ -80,6 +80,16 @@ def main():
     assert int(out_w["overflow"]) == 0
     assert int(out_w["num_unnested"]) == total_d
 
+    # (a'') full fast path: + fused compacted shard build (n_keys) +
+    # key-sorted exchange consumed presorted + global-id emission
+    stepf = dist_nested_join(mesh, num_buckets_per_shard=ndv,
+                             build_capacity=n, probe_capacity=n,
+                             out_capacity=out_cap, key_domain=dom,
+                             n_keys=ndv)
+    t_distf, out_f = timeit(lambda: stepf(bkd, pkd))
+    assert int(out_f["overflow"]) == 0
+    assert int(out_f["num_unnested"]) == total_d
+
     # (b) single-chip fast path: compacted build + windowed probe strand
     bk_dev = jax.device_put(bk)
     pk_dev = jax.device_put(pk)
@@ -98,6 +108,8 @@ def main():
           f"({t_dist/t_single:.2f}x)")
     print(f"dist @ 1-dev (windowed probe):{t_distw*1e3:8.1f} ms "
           f"({t_distw/t_single:.2f}x)")
+    print(f"dist @ 1-dev (fast: fused build + presorted probe):"
+          f"{t_distf*1e3:8.1f} ms ({t_distf/t_single:.2f}x)")
     print("breakdown drivers: exchange sort+pack+all_to_all of both sides, "
           "padded (shard_map-safe) build instead of the compacted host "
           "build, serialized-gather probe instead of the windowed strand")
