@@ -22,7 +22,6 @@ from dataclasses import dataclass
 import numpy as np
 
 
-_sum_i64_jit = None
 _kd_total_jit = None
 
 
@@ -44,16 +43,6 @@ def _kd_expand_total(table, pk):
 
         _kd_total_jit = jax.jit(f)
     return _kd_total_jit(table, pk)
-
-
-def _sum_i64(x):
-    """Module-level jitted total (compiled once per shape, not per call)."""
-    global _sum_i64_jit
-    if _sum_i64_jit is None:
-        import jax
-        import jax.numpy as jnp
-        _sum_i64_jit = jax.jit(lambda v: jnp.sum(v.astype(jnp.int64)))
-    return _sum_i64_jit(x)
 
 
 @dataclass(frozen=True)
@@ -208,8 +197,6 @@ def join(build_keys, probe_keys, how: str = "nested",
 
     import jax
 
-    from .ops import probe_chaining, probe_nested, unnest
-    from .ops import materialize_chaining_join
     from .ops.chaining import build_chaining_host, can_use_dense_direct
     from .ops.nested import build_nested_host
 
@@ -219,10 +206,13 @@ def join(build_keys, probe_keys, how: str = "nested",
     # - densely bounded 32-bit key domains -> key_direct index + windowed
     #   keydirect strand.  The domain is inferred from max(build_keys) when
     #   the caller gave no hint and the domain is not too sparse (<= 4x the
-    #   build rows: a sparser key_direct wastes HBM for few hits).
-    # 32-bit UNSIGNED keys only: signed columns canonicalize negatives to
-    # huge u32 values (beyond any inferred domain) and u64 keys would be
-    # truncated by the u32 windowed strands
+    #   build rows: a sparser key_direct wastes HBM for few hits);
+    # - everything else (u64 / composite / sparse domains) -> the merged
+    #   windowed strands (sort-merge group resolution in sorted order; u64
+    #   sorts as (hi, lo) u32 planes).
+    # key_direct inference wants 32-bit UNSIGNED keys only: signed columns
+    # canonicalize negatives to huge u32 values (beyond any inferred
+    # domain) and u64 keys would be truncated by the u32 index
     narrow = bk.dtype.kind == "u" and bk.dtype.itemsize == 4 \
         and pk.dtype.kind == "u" and pk.dtype.itemsize == 4
     if key_domain is None and narrow:
@@ -248,14 +238,22 @@ def join(build_keys, probe_keys, how: str = "nested",
     if how == "chaining":
         table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
                                     key_domain=key_domain, hashfun=hashfun)
-        res = probe_chaining(table, pk, unique=unique)
-        # one sync for both counters; num_matches IS the emitted-pair total
-        # for chaining probes (num_matches = sum(match_count))
+        # merged windowed strand: ANY key width (u64 / composite / sparse
+        # u32 domains ride the same fast path as dense ones -- the sort-
+        # merge group resolution stays in sorted order and every downstream
+        # access is a windowed lookup).  One sizing sync; num_matches IS
+        # the emitted-pair total for chaining probes.
+        from .ops.strands_windowed import merged_chaining_strand_sorted
+        pre = merged_chaining_strand_sorted(table, pk, 1, unique=unique,
+                                            do_expand=False)
         m, c = (int(x) for x in jax.device_get(
-            (res.num_matches, res.num_cmps)))
+            (pre["c_htProbe"], pre["c_htProbeCmp"])))
         total = m
-        prow, brow, valid, _ = materialize_chaining_join(
-            table, res, max(1, total), unique=unique)
+        out = jax.device_get(merged_chaining_strand_sorted(
+            table, pk, max(1, total), unique=unique))
+        v = out["probe_row"] >= 0
+        return JoinResult(out["probe_row"][v], out["build_row"][v],
+                          m, c, total)
     else:
         table = build_nested_host(bk, num_buckets, n_keys=n_keys,
                                   key_domain=key_domain, hashfun=hashfun)
@@ -273,19 +271,18 @@ def join(build_keys, probe_keys, how: str = "nested",
             v = out["probe_row"] >= 0
             return JoinResult(out["probe_row"][v], out["build_row"][v],
                               m, c, total)
-        res = probe_nested(table, pk)
+        # merged windowed strand (see the chaining branch): the generic-key
+        # path -- u64 probes no longer fall back to serialized gathers
+        from .ops.strands_windowed import merged_nested_strand_sorted
+        pre = merged_nested_strand_sorted(table, pk, 1, do_unnest=False)
         m, c, total = (int(x) for x in jax.device_get(
-            (res.num_matches, res.num_cmps, _sum_i64(res.group_len))))
-        prow, brow, valid, _ = unnest(table, res, max(1, total))
-
-    v = np.asarray(valid)
-    return JoinResult(
-        probe_rows=np.asarray(prow)[v],
-        build_rows=np.asarray(brow)[v],
-        num_matches=m,
-        num_cmps=c,
-        num_results=total,
-    )
+            (pre["c_htProbe"], pre["c_htProbeCmp"],
+             pre["c_expand_total"])))
+        out = jax.device_get(merged_nested_strand_sorted(
+            table, pk, max(1, total)))
+        v = out["probe_row"] >= 0
+        return JoinResult(out["probe_row"][v], out["build_row"][v],
+                          m, c, total)
 
 
 def _join_with_mode(bk, pk, how, num_buckets, unique, n_keys, key_domain,

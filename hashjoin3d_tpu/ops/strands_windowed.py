@@ -372,6 +372,174 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     )
 
 
+def _merge_groups(ukey: jax.Array, pk: jax.Array):
+    """Sort-merge group resolution that STAYS in merged (sorted) order.
+
+    The dense ``key_direct`` index cannot exist for u64 keys or sparse u32
+    domains; the engine's generic lookup (``layout.merge_lookup``) scatters
+    results back to probe order, after which every downstream per-group
+    access is a serialized ~8.6 ns/elem gather.  This variant keeps the
+    merged order instead, so the group-id stream is NONDECREASING and all
+    downstream accesses ride the Pallas windowed lookup -- the same rewrite
+    that carries the u32 strands, extended to any key width
+    (re-implements the group resolution of
+    /root/reference/ht_nested.hh:354-382 for keys with no dense index).
+
+    Mechanics: concatenate the directory's unique keys with the probe keys
+    and sort ONCE -- u64 values as (hi, lo) u32 planes, since 64-bit sorts
+    and scatters cost ~2x and ~11-16x their 32-bit twins (CLAUDE.md) -- with
+    the source index as the last sort key, so each equal-key run leads with
+    its directory entry (directory indexes [0, K) < probe indexes).  The
+    run-head payload, one windowed lookup away, IS the group id.
+
+    Returns merged-order ``(skey, g, is_probe, probe_row_by_pos)`` of
+    length ``K + P``; ``g`` is -1 where the run head is a probe (key absent
+    from the directory); padding directory slots surface with their real
+    ``g`` and are rejected by the caller's ``group_len > 0`` gate.
+    """
+    K, P = ukey.shape[0], pk.shape[0]
+    M = K + P
+    wide = max(jnp.dtype(ukey.dtype).itemsize, jnp.dtype(pk.dtype).itemsize) == 8
+    tgt = jnp.uint64 if wide else U32
+    vals = jnp.concatenate([ukey.astype(tgt), pk.astype(tgt)])
+    idx = jnp.arange(M, dtype=I32)
+    if wide:
+        hi = (vals >> jnp.uint64(32)).astype(U32)
+        lo = (vals & jnp.uint64(0xFFFFFFFF)).astype(U32)
+        hi_s, lo_s, idx_s = lax.sort((hi, lo, idx), num_keys=3)
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+        skey = ((hi_s.astype(jnp.uint64) << jnp.uint64(32))
+                | lo_s.astype(jnp.uint64))
+    else:
+        skey, idx_s = lax.sort((vals, idx), num_keys=2)
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    run_start = lax.cummax(jnp.where(is_first, jnp.arange(M, dtype=I32), -1),
+                           0)
+    # run_start advances <= 1 per element: always window-covered
+    head = safe_lookup(idx_s, run_start).astype(I32)
+    g = jnp.where(head < K, head, -1)
+    is_probe = idx_s >= K
+    return skey, g, is_probe, idx_s - K
+
+
+@partial(jax.jit, static_argnames=("out_size", "do_unnest"))
+def merged_nested_strand_sorted(table, pk, out_size, do_unnest=True):
+    """Windowed nested probe strand for u64 / composite / sparse-domain keys.
+
+    The generic-key twin of :func:`keydirect_nested_strand_sorted`: group
+    resolution comes from :func:`_merge_groups` instead of a ``key_direct``
+    index, everything downstream is identical windowed machinery.  Counters
+    equal ``probe_nested`` + ``unnest`` (``ht_nested.hh:354-382``,
+    ``algebra.hh:435-459, 510-541``); emission is ascending insertion order
+    per group (multiset-equal, the windowed strands' standing contract).
+
+    ``do_unnest=False`` returns the counters plus ``c_expand_total`` (the
+    exact unnested size) without materializing -- the one-pass sizing probe
+    ``api.join`` uses.
+    """
+    ukey = table.groups.ukey
+    K, P = ukey.shape[0], pk.shape[0]
+    M = K + P
+    skey, g, is_probe, prow_by_pos = _merge_groups(ukey, pk)
+
+    glen = safe_lookup(table.groups.group_len, g).astype(I32)
+    hit = is_probe & (g >= 0) & (glen > 0)
+    pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32), g).astype(I32)
+    miss_cmps = _miss_chain_cmps(table.bucket_main_len, table.num_buckets,
+                                 skey, is_probe & ~hit, table.hashfun)
+    m = jnp.sum(hit.astype(jnp.int64))
+    # gate by hit: padding directory slots (group_len 0) carry no defined
+    # main position, and misses contribute via the bucket walk above
+    cmps = jnp.sum(jnp.where(hit, pos1, 0).astype(jnp.int64)) + miss_cmps
+    counts = jnp.where(hit, glen, 0)
+
+    if not do_unnest:
+        return dict(c_htProbe=m, c_htProbeCmp=cmps,
+                    c_expand_total=jnp.sum(counts.astype(jnp.int64)))
+
+    gstart_by_pos = safe_lookup(table.groups.group_start, g).astype(I32)
+    p, within, valid, total = expand(counts, out_size)[:4]
+    Wp, Cp = stride_params(M / out_size)
+    gst = safe_lookup(gstart_by_pos, p, W=Wp, C=Cp).astype(I32)
+    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
+    probe_row = safe_lookup(jnp.maximum(prow_by_pos, 0), p,
+                            W=Wp, C=Cp).astype(I32)
+    return dict(
+        probe_row=jnp.where(valid, probe_row, -1),
+        build_row=jnp.where(valid, build_row, -1),
+        total=total.astype(jnp.int64),
+        c_htProbe=m, c_htProbeCmp=cmps,
+        c_unnest=total.astype(jnp.int64),
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size", "unique", "do_expand"))
+def merged_chaining_strand_sorted(table, pk, out_size, unique=False,
+                                  do_expand=True):
+    """Windowed chaining probe strand for u64 / sparse-domain keys
+    (generic-key twin of :func:`keydirect_chaining_strand_sorted`;
+    ``algebra.hh:625-659``).  ``do_expand=False`` returns counters only
+    (the emitted-pair total for chaining IS ``c_htProbe``)."""
+    ukey = table.groups.ukey
+    P = pk.shape[0]
+    M = ukey.shape[0] + P
+    skey, g, is_probe, prow_by_pos = _merge_groups(ukey, pk)
+
+    glen = safe_lookup(table.groups.group_len, g).astype(I32)
+    hit = is_probe & (g >= 0) & (glen > 0)
+
+    if unique:
+        if table.group_min_pos.shape[0] == 0:
+            raise ValueError(
+                "table was built with early_exit_index=False; "
+                "IsBuildKeyUnique probes need the chain-position index")
+        counts = hit.astype(I32)
+        m = jnp.sum(hit.astype(jnp.int64))
+        pos1 = safe_lookup((table.group_min_pos + 1).view(U32),
+                           g).astype(I32)
+        miss_cmps = _miss_chain_cmps(table.bucket_len, table.num_buckets,
+                                     skey, is_probe & ~hit, table.hashfun)
+        cmps = jnp.sum(jnp.where(hit, pos1, 0).astype(jnp.int64)) + miss_cmps
+        row_by_pos = safe_lookup((table.group_chain_first + 1).view(U32),
+                                 g).astype(I32) - 1
+    else:
+        counts = jnp.where(hit, glen, 0)
+        m = jnp.sum(counts.astype(jnp.int64))
+        # full-chain comparisons for every probe: bucket chain lengths over
+        # the sorted bucket-id stream (dir entries excluded)
+        b = bucket_of(hash_key(skey, table.hashfun),
+                      table.num_buckets).astype(I32)
+        b = jnp.where(is_probe, b, -1)
+        b_sorted = _sort_bucket_ids(b, table.num_buckets)
+        cmps = jnp.sum(safe_lookup(
+            table.bucket_len, b_sorted).astype(jnp.int64))
+        row_by_pos = None
+
+    if not do_expand:
+        return dict(c_htProbe=m, c_htProbeCmp=cmps)
+
+    gstart_by_pos = safe_lookup(table.groups.group_start, g).astype(I32)
+    p, within, valid, total = expand(counts, out_size)[:4]
+    Wp, Cp = stride_params(M / out_size)
+    if unique:
+        build_row = safe_lookup(row_by_pos, p, W=Wp, C=Cp).astype(I32)
+    else:
+        gst = safe_lookup(gstart_by_pos, p, W=Wp, C=Cp).astype(I32)
+        build_row = safe_lookup(table.groups.group_rows,
+                                gst + within).astype(I32)
+    probe_row = safe_lookup(jnp.maximum(prow_by_pos, 0), p,
+                            W=Wp, C=Cp).astype(I32)
+    return dict(
+        probe_row=jnp.where(valid, probe_row, -1),
+        build_row=jnp.where(valid, build_row, -1),
+        total=total.astype(jnp.int64),
+        c_htProbe=m, c_htProbeCmp=cmps,
+    )
+
+
 @partial(jax.jit, static_argnames=("out1", "out2"))
 def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     """Windowed exp-4 Ndu probe strand (``main_experiment4.cc:832-941``):

@@ -174,3 +174,92 @@ def test_keydirect_chaining_strand_sorted():
         assert int(got[k]) == int(base[k]), k
     assert _pairs(got["probe_row"], got["build_row"]) == _pairs(
         base["probe_row"], base["build_row"])
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_merged_nested_strand_sorted(wide):
+    """Merged (sort-merge, index-free) nested strand == probe_nested+unnest
+    on sparse u32 domains and on u64 keys (hi/lo-plane sort)."""
+    from hashjoin3d_tpu.ops.nested import probe_nested, unnest
+    from hashjoin3d_tpu.ops.strands_windowed import (
+        merged_nested_strand_sorted)
+
+    rng = np.random.default_rng(11)
+    n, P = 16384, 8192
+    if wide:
+        hi = rng.integers(0, 3, n).astype(np.uint64) << np.uint64(40)
+        bk = (hi | rng.integers(0, 1024, n).astype(np.uint64))
+        pk = ((rng.integers(0, 3, P).astype(np.uint64) << np.uint64(40))
+              | rng.integers(0, 1100, P).astype(np.uint64))  # some misses
+    else:
+        # sparse domain: values up to 2^30 -- no key_direct possible
+        bk = (rng.integers(0, 1024, n, dtype=np.uint32) * 1048573 + 7
+              ).astype(np.uint32)
+        pk = (rng.integers(0, 1100, P, dtype=np.uint32) * 1048573 + 7
+              ).astype(np.uint32)
+    ndv = int(np.unique(bk).size)
+    tbl = build_nested_host(bk, ndv, n_keys=ndv)
+    assert tbl.key_direct is None and tbl.direct is None
+
+    res = probe_nested(tbl, pk)
+    total = int(np.sum(np.asarray(jax.device_get(res.group_len))))
+    prow, brow, valid, _ = unnest(tbl, res, max(1, total))
+    got = jax.device_get(merged_nested_strand_sorted(
+        tbl, pk, max(1, total)))
+    assert int(got["c_htProbe"]) == int(res.num_matches)
+    assert int(got["c_htProbeCmp"]) == int(res.num_cmps)
+    assert int(got["c_unnest"]) == total
+    assert _pairs(got["probe_row"], got["build_row"]) == _pairs(
+        prow, brow, valid)
+
+    pre = jax.device_get(merged_nested_strand_sorted(
+        tbl, pk, 1, do_unnest=False))
+    assert int(pre["c_expand_total"]) == total
+    assert int(pre["c_htProbe"]) == int(res.num_matches)
+    assert int(pre["c_htProbeCmp"]) == int(res.num_cmps)
+
+
+@pytest.mark.parametrize("wide,unique", [(False, False), (False, True),
+                                         (True, False), (True, True)])
+def test_merged_chaining_strand_sorted(wide, unique):
+    """Merged chaining strand == probe_chaining+materialize on sparse/u64."""
+    from hashjoin3d_tpu.ops.chaining import (
+        materialize_chaining_join, probe_chaining)
+    from hashjoin3d_tpu.ops.strands_windowed import (
+        merged_chaining_strand_sorted)
+
+    rng = np.random.default_rng(13)
+    n, P = 8192, 8192
+    if unique:
+        base_keys = rng.permutation(1 << 20)[:n].astype(np.uint32)
+    else:
+        base_keys = rng.integers(0, 1024, n, dtype=np.uint32) * 65521 + 3
+    if wide:
+        bk = base_keys.astype(np.uint64) | (np.uint64(5) << np.uint64(40))
+        pk = (rng.choice(base_keys, P).astype(np.uint64)
+              | (np.uint64(5) << np.uint64(40)))
+        pk[::7] ^= np.uint64(1) << np.uint64(50)   # misses
+    else:
+        bk = base_keys.astype(np.uint32)
+        pk = rng.choice(base_keys, P).astype(np.uint32)
+        pk[::7] += 1                               # misses
+    ndv = int(np.unique(bk).size)
+    tbl = build_chaining_host(bk, ndv, n_keys=ndv)
+    assert tbl.key_direct is None and tbl.direct is None
+
+    res = probe_chaining(tbl, pk, unique=unique)
+    total = int(res.num_matches)
+    prow, brow, valid, _ = materialize_chaining_join(
+        tbl, res, max(1, total), unique=unique)
+    got = jax.device_get(merged_chaining_strand_sorted(
+        tbl, pk, max(1, total), unique=unique))
+    assert int(got["c_htProbe"]) == total
+    assert int(got["c_htProbeCmp"]) == int(res.num_cmps)
+    assert int(got["total"]) == total
+    assert _pairs(got["probe_row"], got["build_row"]) == _pairs(
+        prow, brow, valid)
+
+    pre = jax.device_get(merged_chaining_strand_sorted(
+        tbl, pk, 1, unique=unique, do_expand=False))
+    assert int(pre["c_htProbe"]) == total
+    assert int(pre["c_htProbeCmp"]) == int(res.num_cmps)

@@ -166,6 +166,34 @@ def main():
     except Exception as e:
         print(f"sorted pipeline FAILED: {type(e).__name__}: {e}", flush=True)
 
+    # -- strand-level: u64 merged vs u32 keydirect probe (n over T) -----------
+    # the VERDICT r2 item-6 bar: u64 probes must run <= 2x the u32 windowed
+    # strand, not fall back to the serialized gather
+    from hashjoin3d_tpu.ops.nested import build_nested_host
+    from hashjoin3d_tpu.ops.strands_windowed import (
+        keydirect_nested_strand_sorted, merged_nested_strand_sorted)
+
+    bk32 = rng.permutation(np.arange(T, dtype=np.uint32))
+    pk32 = rng.integers(0, T, n, dtype=np.uint32)
+    hi = np.uint64(0xAB) << np.uint64(40)
+    bk64 = bk32.astype(np.uint64) | hi
+    pk64 = pk32.astype(np.uint64) | hi
+    try:
+        tbl32 = build_nested_host(jnp.asarray(bk32), T, n_keys=T,
+                                  key_domain=T)
+        report("u32 keydirect nested strand", timeit(
+            lambda t, p: keydirect_nested_strand_sorted(t, p, n),
+            tbl32, jnp.asarray(pk32), min_time=mt))
+        report("u32 merged nested strand", timeit(
+            lambda t, p: merged_nested_strand_sorted(t, p, n),
+            tbl32, jnp.asarray(pk32), min_time=mt))
+        tbl64 = build_nested_host(jnp.asarray(bk64), T, n_keys=T)
+        report("u64 merged nested strand", timeit(
+            lambda t, p: merged_nested_strand_sorted(t, p, n),
+            tbl64, jnp.asarray(pk64), min_time=mt))
+    except Exception as e:
+        print(f"strand rows FAILED: {type(e).__name__}: {e}", flush=True)
+
     print("\n| op | ms | ns/elem | GB/s | % HBM SoL |")
     print("|---|---|---|---|---|")
     for name, ms, ns, bw, sol in rows:
