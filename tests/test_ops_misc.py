@@ -1,5 +1,6 @@
 """Tests for the auxiliary operator set: hash aggregate, sort/partition, filter."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -290,3 +291,87 @@ def test_stream_probe_matches_whole_column():
     wp, wb = np.asarray(want["probe_row"]), np.asarray(want["build_row"])
     v = wp >= 0
     assert got == sorted(zip(wp[v].tolist(), wb[v].tolist()))
+
+
+@pytest.mark.parametrize("layout", ["keydirect", "merged_u32", "merged_u64"])
+def test_stream_probe_nested_matches_whole_column(layout):
+    """Chunk-streamed nested probe+unnest == whole-column probe_nested +
+    unnest on every table layout (counters and pair multiset)."""
+    import jax
+    from hashjoin3d_tpu.ops.nested import (
+        build_nested_host, probe_nested, unnest)
+    from hashjoin3d_tpu.ops.streaming import stream_probe_nested
+
+    rng = np.random.default_rng(17)
+    if layout == "keydirect":
+        bk = rng.integers(0, 1024, 4096, dtype=np.uint32)
+        pk = rng.integers(0, 1100, 10000, dtype=np.uint32)
+        kd = 1100
+    elif layout == "merged_u32":
+        bk = (rng.integers(0, 1024, 4096, dtype=np.uint32)
+              * 65521 + 3).astype(np.uint32)
+        pk = (rng.integers(0, 1100, 10000, dtype=np.uint32)
+              * 65521 + 3).astype(np.uint32)
+        kd = None
+    else:
+        hi = np.uint64(0x3) << np.uint64(40)
+        bk = rng.integers(0, 1024, 4096).astype(np.uint64) | hi
+        pk = rng.integers(0, 1100, 10000).astype(np.uint64) | hi
+        kd = None
+    ndv = int(np.unique(bk).size)
+    tbl = build_nested_host(bk, ndv, n_keys=ndv, key_domain=kd)
+
+    res = probe_nested(tbl, jax.device_put(pk))
+    total = int(np.sum(np.asarray(jax.device_get(res.group_len))))
+    prow, brow, valid, _ = unnest(tbl, res, max(1, total))
+    m, c, u, pairs = stream_probe_nested(tbl, pk, chunk_size=4096,
+                                         collect_pairs=True,
+                                         out_per_chunk=8 * 4096)
+    assert m == int(res.num_matches)
+    assert c == int(res.num_cmps)
+    assert u == total
+    got = sorted((int(a), int(b)) for pr, br in pairs
+                 for a, b in zip(pr, br))
+    wp, wb = np.asarray(prow), np.asarray(brow)
+    v = np.asarray(valid)
+    assert got == sorted(zip(wp[v].tolist(), wb[v].tolist()))
+
+
+@pytest.mark.parametrize("unique", [False, True])
+def test_stream_probe_chaining_keydirect_and_merged(unique):
+    """Streaming chaining probes on NON-dense-direct layouts (the round-2
+    restriction removed): keydirect and merged tables."""
+    import jax
+    from hashjoin3d_tpu.ops.chaining import (
+        build_chaining_host, materialize_chaining_join, probe_chaining)
+    from hashjoin3d_tpu.ops.streaming import stream_probe_chaining
+
+    rng = np.random.default_rng(19)
+    if unique:
+        base = rng.permutation(1 << 16)[:2048].astype(np.uint32)
+    else:
+        base = rng.integers(0, 512, 2048, dtype=np.uint32)
+    for kd, tr in ((1 << 16, lambda a: a),
+                   (None, lambda a: a.astype(np.uint64)
+                    | (np.uint64(9) << np.uint64(40)))):
+        bk = tr(base)
+        pk = tr(np.concatenate([rng.choice(base, 9000),
+                                rng.integers(1 << 17, 1 << 18, 1000)
+                                ]).astype(base.dtype))
+        ndv = int(np.unique(bk).size)
+        tbl = build_chaining_host(bk, ndv, n_keys=ndv, key_domain=kd)
+
+        res = probe_chaining(tbl, jax.device_put(pk), unique=unique)
+        total = int(res.num_matches)
+        prow, brow, valid, _ = materialize_chaining_join(
+            tbl, res, max(1, total), unique=unique)
+        m, c, pairs = stream_probe_chaining(
+            tbl, pk, chunk_size=4096, unique=unique, collect_pairs=True,
+            out_per_chunk=16 * 4096)
+        assert m == total
+        assert c == int(res.num_cmps)
+        got = sorted((int(a), int(b)) for pr, br in pairs
+                     for a, b in zip(pr, br))
+        wp, wb = np.asarray(prow), np.asarray(brow)
+        v = np.asarray(valid)
+        assert got == sorted(zip(wp[v].tolist(), wb[v].tolist()))
