@@ -45,11 +45,30 @@ def _global_rows(n_local: int, axis: str) -> jax.Array:
     return base + jnp.arange(n_local, dtype=I32)
 
 
+def _merged_pad_cmps(table, pkeys, pvalid, chain_len):
+    """Comparison count contributed by the exchange's dead receive slots.
+
+    Dead slots carry the reserved all-ones key (``partition_exchange``
+    contract) and ride the merged strand as ordinary misses, walking the
+    pad key's bucket; the single-chip contract (``probe_*`` with
+    ``mask=``) counts masked probes as zero comparisons, so the pad
+    bucket's walk is recomputed and subtracted -- the same correction
+    ``ops/streaming.py`` applies to its chunk tails."""
+    from ..ops.hashing import bucket_of, hash_key
+    from ..ops.streaming import _pad_key
+
+    pad = _pad_key(pkeys.dtype)
+    pad_b = bucket_of(hash_key(pad, table.hashfun), table.num_buckets)
+    n_dead = jnp.sum((~pvalid).astype(jnp.int64))
+    return chain_len[pad_b].astype(jnp.int64) * n_dead
+
+
 def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                      build_capacity: int, probe_capacity: int,
                      out_capacity: int, axis: str = SHARD_AXIS,
                      key_domain: int | None = None,
-                     n_keys: int | None = None):
+                     n_keys: int | None = None,
+                     merged: bool | None = None):
     """Build a jitted distributed 3D-hash-join step.
 
     Returns ``step(build_keys, probe_keys) -> dict`` where the key columns are
@@ -77,6 +96,14 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
     ride the build sort so results emit global coordinates directly.
     Together these remove most of the distributed path's overhead over
     the single-chip engine (tools/dist_overhead.py; PERF.md).
+
+    ``merged`` routes the shard-local probe through the MERGED windowed
+    strand (``ops/strands_windowed.py:merged_nested_strand_sorted``) --
+    the fast path for keys with no dense index (u64 / composite / sparse
+    u32 domains).  Default ``None`` auto-selects it for 64-bit keys when
+    ``key_domain`` is unset; the dead receive slots' reserved all-ones
+    key rides as a miss whose bucket walk is subtracted
+    (:func:`_merged_pad_cmps`).
     """
     ns = mesh.shape[axis]
 
@@ -84,6 +111,9 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         nb_local = build_keys.shape[0]
         np_local = probe_keys.shape[0]
         fast = key_domain is not None
+        use_merged = (merged if merged is not None else
+                      (not fast
+                       and jnp.dtype(probe_keys.dtype).itemsize == 8))
 
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
@@ -113,6 +143,17 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             total = out["c_unnest"]
             n_matches, n_cmps = out["c_htProbe"], out["c_htProbeCmp"]
             probe_row = prow_l  # already global via srow_values
+        elif use_merged:
+            from ..ops.strands_windowed import merged_nested_strand_sorted
+            out = merged_nested_strand_sorted(table, pkeys, out_capacity)
+            prow_l, brow_l = out["probe_row"], out["build_row"]
+            ovalid = prow_l >= 0
+            total = out["c_unnest"]
+            n_matches = out["c_htProbe"]
+            n_cmps = out["c_htProbeCmp"] - _merged_pad_cmps(
+                table, pkeys, pvalid, table.bucket_main_len)
+            probe_row = jnp.where(ovalid,
+                                  ppay["row"][jnp.maximum(prow_l, 0)], -1)
         else:
             res = probe_nested(table, pkeys, mask=pvalid)
             prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
@@ -154,17 +195,22 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
                        out_capacity: int, unique: bool = False,
                        axis: str = SHARD_AXIS,
                        key_domain: int | None = None,
-                       n_keys: int | None = None):
+                       n_keys: int | None = None,
+                       merged: bool | None = None):
     """Distributed chaining hash join; see :func:`dist_nested_join`
     (``key_domain`` likewise enables the presorted windowed shard-local
     probe; ``n_keys`` the fused compacted shard build with global-id
-    emission, including the ``unique`` early-exit index)."""
+    emission, including the ``unique`` early-exit index; ``merged`` the
+    windowed merged strand for u64/sparse keys, auto for 64-bit)."""
     ns = mesh.shape[axis]
 
     def step(build_keys, probe_keys):
         nb_local = build_keys.shape[0]
         np_local = probe_keys.shape[0]
         fast = key_domain is not None
+        use_merged = (merged if merged is not None else
+                      (not fast
+                       and jnp.dtype(probe_keys.dtype).itemsize == 8))
 
         bkeys, bpay, bvalid, bovf = partition_exchange(
             axis, build_keys, {"row": _global_rows(nb_local, axis)},
@@ -196,6 +242,18 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
             total = out_k["total"]
             n_matches, n_cmps = out_k["c_htProbe"], out_k["c_htProbeCmp"]
             probe_row = prow_l  # already global via srow_values
+        elif use_merged:
+            from ..ops.strands_windowed import merged_chaining_strand_sorted
+            out_m = merged_chaining_strand_sorted(table, pkeys, out_capacity,
+                                                  unique=unique)
+            prow_l, brow_l = out_m["probe_row"], out_m["build_row"]
+            ovalid = prow_l >= 0
+            total = out_m["total"]
+            n_matches = out_m["c_htProbe"]
+            n_cmps = out_m["c_htProbeCmp"] - _merged_pad_cmps(
+                table, pkeys, pvalid, table.bucket_len)
+            probe_row = jnp.where(ovalid,
+                                  ppay["row"][jnp.maximum(prow_l, 0)], -1)
         else:
             res = probe_chaining(table, pkeys, unique=unique, mask=pvalid)
             prow_l, brow_l, ovalid, total = materialize_chaining_join(

@@ -377,6 +377,41 @@ def test_dist_deferred_two_join_matches_exp4_oracle(mesh):
     assert got == want
 
 
+def test_dist_join_u64_merged_strand(mesh):
+    """u64 shard-local probes auto-route to the merged windowed strand
+    (dist_join.py `merged`): pairs equal the oracle and every counter
+    equals the default gather path on the same exchange."""
+    from hashjoin3d_tpu.parallel import dist_chaining_join, dist_nested_join
+
+    rng = np.random.default_rng(67)
+    base = (rng.choice(1 << 20, 96, replace=False).astype(np.uint64)
+            << np.uint64(40)) | np.uint64(0xABCDEF)
+    bk = np.repeat(base[:64], rng.integers(1, 6, 64)).astype(np.uint64)
+    rng.shuffle(bk)
+    pk = rng.choice(base, 256).astype(np.uint64)
+
+    sh = shard_axis(mesh)
+    bk = bk[: bk.size - bk.size % 8]
+    args = dict(num_buckets_per_shard=16, build_capacity=bk.size,
+                probe_capacity=256, out_capacity=4096)
+    out_m = dist_nested_join(mesh, **args)(jax.device_put(bk, sh),
+                                           jax.device_put(pk, sh))
+    out_g = dist_nested_join(mesh, **args, merged=False)(
+        jax.device_put(bk, sh), jax.device_put(pk, sh))
+    assert int(out_m["overflow"]) == 0
+    assert _pairs(out_m) == _oracle_pairs(bk, pk)
+    for c in ("num_matches", "num_cmps", "num_unnested"):
+        assert int(out_m[c]) == int(out_g[c]), c
+
+    outc_m = dist_chaining_join(mesh, **args)(jax.device_put(bk, sh),
+                                              jax.device_put(pk, sh))
+    outc_g = dist_chaining_join(mesh, **args, merged=False)(
+        jax.device_put(bk, sh), jax.device_put(pk, sh))
+    assert _pairs(outc_m) == _pairs(outc_g) == _oracle_pairs(bk, pk)
+    for c in ("num_matches", "num_cmps", "num_results"):
+        assert int(outc_m[c]) == int(outc_g[c]), c
+
+
 def test_dist_join_u64_keys(mesh):
     """Distributed joins route and ship 64-bit keys without truncation."""
     from hashjoin3d_tpu.parallel import dist_nested_join
