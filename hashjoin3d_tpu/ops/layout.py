@@ -289,12 +289,51 @@ def drop_pad_groups(groups: "GroupIndex") -> "GroupIndex":
 
 
 @jax.jit
+def is_sorted_ascending(keys: jax.Array) -> jax.Array:
+    """True iff ``keys`` is already ascending -- one fused reduction read.
+
+    The check costs one pass at copy bandwidth (~0.1 ms at 2^24 on v5e)
+    against the ~50 ms 2-op sort it lets :func:`sort_rows_maybe_skip`
+    skip, so every build and probe strand runs it unconditionally.
+    """
+    if keys.shape[0] < 2:
+        return jnp.bool_(True)
+    return jnp.all(keys[1:] >= keys[:-1])
+
+
+def sort_rows_maybe_skip(keys: jax.Array, *payloads: jax.Array):
+    """Stable ``lax.sort((keys, arange, *payloads))`` that skips itself at
+    runtime when ``keys`` is already ascending (one ``lax.cond`` on
+    :func:`is_sorted_ascending`).
+
+    Presorted key columns are common -- clustered primary keys, the output
+    of a previous sorted operator, merge-exchange streams -- and the phase-1
+    sort is the dominant term of every build and unsorted-probe strand
+    (PERF.md: 36-50 ms of 73-230 ms at 2^24).  Skipping is exact: a STABLE
+    sort of an ascending stream returns the stream itself with
+    ``srow == arange`` and payloads untouched, so counters and chain-order
+    semantics are bit-identical (the reference has no such fast path; its
+    per-tuple inserts cost the same either way, ``ht_chaining.hh::insert``).
+    """
+    n = keys.shape[0]
+    # ``keys ^ keys`` is zero but carries the keys' device-varying type, so
+    # under shard_map both cond branches return identically-typed (varying)
+    # outputs -- a bare arange is replicated and trips the vma type check
+    vzero = keys ^ keys
+    row = jnp.arange(n, dtype=I32) + vzero.astype(I32)
+    ops = (keys, row,
+           *(p + vzero.astype(p.dtype) for p in payloads))
+    return lax.cond(
+        is_sorted_ascending(keys),
+        lambda o: o,
+        lambda o: lax.sort(o, num_keys=1, is_stable=True),
+        ops)
+
+
 def sort_with_rows(keys: jax.Array):
     """Phase 1 of the host build: sort keys with row payload + count distinct."""
     keys = keys.astype(canon_key_dtype(keys))
-    n = keys.shape[0]
-    skey, srow = lax.sort((keys, jnp.arange(n, dtype=I32)), num_keys=1,
-                          is_stable=True)
+    skey, srow = sort_rows_maybe_skip(keys)
     n_keys = jnp.sum(
         jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
         .astype(I32))

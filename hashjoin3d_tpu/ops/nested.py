@@ -312,11 +312,9 @@ def _build_nested_fused(keys, cap, num_buckets, dense_direct,
     else:
         # ``rows`` (e.g. global row ids on a distributed shard) ride the
         # phase-1 sort so group_rows emits them directly
+        from .layout import sort_rows_maybe_skip
         keys = keys.astype(canon_key_dtype(keys))
-        n = keys.shape[0]
-        skey, srow, rows_s = lax.sort(
-            (keys, jnp.arange(n, dtype=I32), rows.astype(I32)),
-            num_keys=1, is_stable=True)
+        skey, srow, rows_s = sort_rows_maybe_skip(keys, rows.astype(I32))
     return _build_nested_phase2(keys, skey, srow, cap, num_buckets,
                                 dense_direct, key_domain, hashfun,
                                 drop_pad_key, rows_s)

@@ -150,14 +150,31 @@ def _sort_probes(pk: jax.Array, domain: int | None = None):
     out-of-domain (miss) keys sort to each segment's tail exactly as they
     sort to the global tail.  Downstream expansion-keyed lookups see ~K
     uncovered boundary chunks, which safe_lookup patches individually.
+
+    A probe stream that is ALREADY ascending (pre-partitioned input, the
+    output of a sorted operator) skips the sort entirely at runtime: the
+    monotonicity check is one reduction read (layout.is_sorted_ascending)
+    and a globally sorted stream satisfies every downstream windowed-
+    coverage invariant of both the global and the segmented layout.
     """
+    from .layout import is_sorted_ascending
     from .sort import probe_sort_chunk, sort_segmented
     P = pk.shape[0]
+    pku = pk.astype(U32)
+    # vma-typed identity permutation (see layout.sort_rows_maybe_skip)
+    rowv = jnp.arange(P, dtype=I32) + (pku ^ pku).astype(I32)
     chunk = probe_sort_chunk(P, domain)
     if chunk is None:
-        return lax.sort((pk.astype(U32), jnp.arange(P, dtype=I32)),
-                        num_keys=1)
-    return sort_segmented(pk.astype(U32), chunk)
+        return lax.cond(
+            is_sorted_ascending(pku),
+            lambda k: (k, rowv),
+            lambda k: lax.sort((k, rowv), num_keys=1),
+            pku)
+    return lax.cond(
+        is_sorted_ascending(pku),
+        lambda k: (k, rowv),
+        lambda k: sort_segmented(k, chunk),
+        pku)
 
 
 def _sort_bucket_ids(b: jax.Array, num_buckets: int) -> jax.Array:

@@ -20,3 +20,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated XLA-CPU compiler state across the suite.
+
+    A rare LLVM-side segfault has been observed (twice) deep into full-suite
+    runs, always during a pjit compile and never reproducible in isolation
+    or in module subsets; dropping live compiled programs between modules
+    keeps the CPU backend's state small at a modest recompile cost (each
+    module overwhelmingly compiles its own shapes anyway).
+    """
+    yield
+    jax.clear_caches()

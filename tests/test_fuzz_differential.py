@@ -45,6 +45,13 @@ def _configs():
                           rng.integers(0, 200, n_b)).astype(np.uint32)
             pk = np.where(rng.random(n_p) < 0.5, hot,
                           rng.integers(0, 250, n_p)).astype(np.uint32)
+        # presorted columns hit the runtime sortedness-detection skip branch
+        # (layout.sort_rows_maybe_skip / strands_windowed._sort_probes);
+        # the native oracle sees the same arrays, so the diff stays exact
+        if rng.random() < 0.25:
+            bk = np.sort(bk)
+        if rng.random() < 0.25:
+            pk = np.sort(pk)
         nb = int(rng.integers(1, 2 * n_b + 2))
         yield trial, bk, pk, nb, rng
 

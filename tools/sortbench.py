@@ -75,6 +75,15 @@ def main():
     lowent = jnp.asarray(rng.integers(0, 256, N), dtype=U32)
     bench("1-op sort, 256 distinct keys", s1, lowent)
 
+    # runtime sortedness detection (ops/layout.py:sort_rows_maybe_skip):
+    # skip-branch cost on ascending input vs the cond's overhead on random
+    # input (should be ~ the monotonicity read ~0.1 ms over the plain sort)
+    from hashjoin3d_tpu.ops.layout import sort_rows_maybe_skip
+    sd = jax.jit(sort_rows_maybe_skip)
+    ksorted = jnp.sort(keys)
+    bench("maybe-skip sort, ascending input (skip)", sd, ksorted)
+    bench("maybe-skip sort, random input (cond+sort)", sd, keys)
+
     # cumsum: the scan the radix design would lean on
     c1 = jax.jit(lambda k: jnp.cumsum(k.astype(I32)))
     bench("cumsum i32 (2^24,)", c1, keys)
