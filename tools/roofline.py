@@ -125,6 +125,34 @@ def main():
     report("XLA scatter n->T i32", timeit(
         scatter, zeros, idx, upd, min_time=mt), bytes_moved=n * 4)
 
+    # -- scans (the build pipeline's other workhorse) --------------------------
+    cumsum = jax.jit(lambda x: jnp.cumsum(x))
+    cummax = jax.jit(lambda x: jax.lax.cummax(x, 0))
+    cummin_r = jax.jit(lambda x: jax.lax.cummin(x, 0, reverse=True))
+    ones = jnp.ones(n, jnp.int32)
+    report("cumsum i32", timeit(cumsum, ones, min_time=mt),
+           bytes_moved=2 * n * 4)
+    report("cummax i32", timeit(cummax, upd, min_time=mt),
+           bytes_moved=2 * n * 4)
+    report("cummin i32 (reverse)", timeit(cummin_r, upd, min_time=mt),
+           bytes_moved=2 * n * 4)
+
+    from hashjoin3d_tpu.ops.layout import run_boundaries
+    rb = jax.jit(lambda k, v: run_boundaries(k, v))
+    skeys = jnp.asarray(np.sort(rng.integers(0, T, n).astype(np.uint32)))
+    report("run_boundaries (3 scans fused)", timeit(
+        rb, skeys, jnp.int32(n), min_time=mt), bytes_moved=8 * n * 4)
+
+    # -- inverse permutation: scatter vs sort formulation ----------------------
+    perm = jnp.asarray(rng.permutation(np.arange(n, dtype=np.int32)))
+    inv_scatter = jax.jit(lambda p, v: jnp.zeros(n, jnp.int32).at[p].set(v))
+    inv_sort = jax.jit(
+        lambda p, v: jax.lax.sort((p, v), num_keys=1)[1])
+    report("inv-perm scatter n->n i32", timeit(
+        inv_scatter, perm, upd, min_time=mt), bytes_moved=2 * n * 4)
+    report("inv-perm 2-op sort", timeit(
+        inv_sort, perm, upd, min_time=mt), bytes_moved=4 * n * 4)
+
     sort1 = jax.jit(lambda k: jax.lax.sort((k,), num_keys=1)[0])
     sort2 = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1))
     row_ids = jnp.arange(n, dtype=jnp.int32)
