@@ -8,13 +8,21 @@ output-sized cummax/cummin per probe strand.  XLA lowers each to its own
 multi-pass loop; the memory floor is 2 passes of HBM (read + write), i.e.
 ~0.2 ms at 2^24 against the measured multi-ms actuals.
 
-This kernel computes any number of independent scans (sum / max / min, each
-over its own i32 array) in a single sequential-grid pass: per grid step one
-(Cr, 128) block per array is scanned in registers (log-step lane rolls +
-one row-prefix stage) and a per-array carry rides an SMEM scratch across
-the sequential TPU grid.  Reverse scans run the grid and the in-block scan
-backwards.  All arrays share one shape, so the pass streams at copy
-bandwidth regardless of how many scans it fuses.
+This kernel computes any number of independent scans in a single
+sequential-grid pass: per grid step one (Cr, 128) block per array is
+scanned in registers (log-step lane rolls + one row-prefix stage) and a
+per-array carry rides an SMEM scratch across the sequential TPU grid.
+Reverse scans run the grid and the in-block scan backwards.  All arrays
+share one shape, so the pass streams at copy bandwidth regardless of how
+many scans it fuses.
+
+Ops: "sum" | "max" | "min" (one i32 array each) and "maxpair" (TWO i32
+arrays -- a key and a payload -- combined by lexicographic maximum).
+``maxpair`` is the engine's segmented-copy propagation: ``expand()``'s
+strong-expansion payload path is ``cummax((rank << 26) | value)`` on
+int64 -- an i64 scan costs ~2x an i32 one on v5e before XLA's scan
+slowness even starts -- and ``merge_lookup`` propagates (gid, key) the
+same way; both become one fused i32 pass here.
 
 Mosaic idioms follow ops/windowed.py: i32 everywhere (trace under
 ``jax.enable_x64(False)`` where iota is involved), (Cr, 128) tiles,
@@ -42,29 +50,41 @@ from .layout import I32
 #: the ~100 MiB scoped limit for the 1-4 arrays the engine fuses.
 DEFAULT_C = 64 * 1024
 
-_IDENT = {"sum": 0, "max": np.iinfo(np.int32).min,
-          "min": np.iinfo(np.int32).max}
+_I32_MIN = int(np.iinfo(np.int32).min)
+_I32_MAX = int(np.iinfo(np.int32).max)
+
+#: op -> per-slot identity elements (and, implicitly, arity)
+_IDENTS = {"sum": (0,), "max": (_I32_MIN,), "min": (_I32_MAX,),
+           "maxpair": (_I32_MIN, _I32_MIN)}
 
 
-def _combine(op, a, b):
+def _group_combine(op, a, b):
+    """Combine tuples ``a`` and ``b`` of (Cr, 128) blocks (or scalars)."""
     if op == "sum":
-        return a + b
+        return (a[0] + b[0],)
     if op == "max":
-        return jnp.maximum(a, b)
-    return jnp.minimum(a, b)
+        return (jnp.maximum(a[0], b[0]),)
+    if op == "min":
+        return (jnp.minimum(a[0], b[0]),)
+    # maxpair: lexicographic max of (key, payload) -- equals cummax of the
+    # packed (key << 32 | biased payload) i64 formulation bit-for-bit
+    k1, v1 = a
+    k2, v2 = b
+    take2 = (k2 > k1) | ((k2 == k1) & (v2 >= v1))
+    return (jnp.where(take2, k2, k1), jnp.where(take2, v2, v1))
 
 
-def _block_scan(x, op, reverse):
-    """Flattened (row-major) inclusive scan of a (Cr, 128) i32 block.
+def _block_scan(blocks, op, reverse):
+    """Flattened (row-major) inclusive scan of a group of (Cr, 128) blocks.
 
     Log-step lane rolls within rows, then a row-prefix stage over the
     row totals; ~(7 + log2(Cr)) vector combines per element, no memory
-    traffic beyond the block itself.
+    traffic beyond the blocks themselves.
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    Cr = x.shape[0]
-    ident = jnp.int32(_IDENT[op])
+    Cr = blocks[0].shape[0]
+    idents = tuple(jnp.int32(i) for i in _IDENTS[op])
     with jax.enable_x64(False):
         lane = jax.lax.broadcasted_iota(I32, (Cr, 128), 1)
         rowi = jax.lax.broadcasted_iota(I32, (Cr, 128), 0)
@@ -72,66 +92,121 @@ def _block_scan(x, op, reverse):
     # 1) scan within each 128-lane row.  pltpu.roll is circular with a
     # non-negative shift, so a backward roll by s is a forward roll by
     # (dim - s); the iota mask kills the wrapped lanes either way.
+    x = blocks
     s = 1
     while s < 128:
         if reverse:
-            sh = pltpu.roll(x, 128 - s, 1)
-            x = _combine(op, x, jnp.where(lane < 128 - s, sh, ident))
+            mask = lane < 128 - s
+            sh = tuple(pltpu.roll(b, 128 - s, 1) for b in x)
         else:
-            sh = pltpu.roll(x, s, 1)
-            x = _combine(op, x, jnp.where(lane >= s, sh, ident))
+            mask = lane >= s
+            sh = tuple(pltpu.roll(b, s, 1) for b in x)
+        sh = tuple(jnp.where(mask, b, i) for b, i in zip(sh, idents))
+        x = _group_combine(op, x, sh)
         s *= 2
 
     # 2) row totals -> exclusive row prefix (scan across sublanes)
     tot_lane = 0 if reverse else 127
-    totals = jnp.broadcast_to(x[:, tot_lane:tot_lane + 1], (Cr, 128))
+    t = tuple(jnp.broadcast_to(b[:, tot_lane:tot_lane + 1], (Cr, 128))
+              for b in x)
     s = 1
     while s < Cr:
         if reverse:
-            sh = pltpu.roll(totals, Cr - s, 0)
-            totals = _combine(op, totals, jnp.where(rowi < Cr - s, sh, ident))
+            mask = rowi < Cr - s
+            sh = tuple(pltpu.roll(b, Cr - s, 0) for b in t)
         else:
-            sh = pltpu.roll(totals, s, 0)
-            totals = _combine(op, totals, jnp.where(rowi >= s, sh, ident))
+            mask = rowi >= s
+            sh = tuple(pltpu.roll(b, s, 0) for b in t)
+        sh = tuple(jnp.where(mask, b, i) for b, i in zip(sh, idents))
+        t = _group_combine(op, t, sh)
         s *= 2
-    # totals now holds the INCLUSIVE row scan; shift one row for exclusive
+    # t now holds the INCLUSIVE row scan; shift one row for exclusive
     if reverse:
-        excl = jnp.where(rowi < Cr - 1, pltpu.roll(totals, Cr - 1, 0), ident)
+        excl = tuple(jnp.where(rowi < Cr - 1, pltpu.roll(b, Cr - 1, 0), i)
+                     for b, i in zip(t, idents))
     else:
-        excl = jnp.where(rowi >= 1, pltpu.roll(totals, 1, 0), ident)
+        excl = tuple(jnp.where(rowi >= 1, pltpu.roll(b, 1, 0), i)
+                     for b, i in zip(t, idents))
 
-    return _combine(op, x, excl)
+    return _group_combine(op, x, excl)
+
+
+def _block_total(blocks, op):
+    """Whole-block combine as scalars (plain reductions -- cheaper for
+    Mosaic than a scalar extract from the scanned vector)."""
+    if op == "sum":
+        return (jnp.sum(blocks[0]),)
+    if op == "max":
+        return (jnp.max(blocks[0]),)
+    if op == "min":
+        return (jnp.min(blocks[0]),)
+    k, v = blocks
+    k_tot = jnp.max(k)
+    v_tot = jnp.max(jnp.where(k == k_tot, v, jnp.int32(_I32_MIN)))
+    return (k_tot, v_tot)
 
 
 def _make_kernel(ops, reverse):
-    """Kernel over len(ops) in/out block pairs + one SMEM carry per array."""
+    """Kernel over the flat in/out block refs + one SMEM carry per slot."""
+    arities = [len(_IDENTS[op]) for op in ops]
+    total = sum(arities)
 
     def kernel(*refs):
         from jax.experimental import pallas as pl
 
-        N = len(ops)
-        in_refs = refs[:N]
-        out_refs = refs[N:2 * N]
-        carry = refs[2 * N]          # SMEM i32[N]
+        in_refs = refs[:total]
+        out_refs = refs[total:2 * total]
+        carry = refs[2 * total]          # SMEM i32[total]
         j = pl.program_id(0)
 
         @pl.when(j == 0)
         def _init():
-            for a, op in enumerate(ops):
-                carry[a] = jnp.int32(_IDENT[op])
+            slot = 0
+            for op in ops:
+                for i in _IDENTS[op]:
+                    carry[slot] = jnp.int32(i)
+                    slot += 1
 
-        for a, op in enumerate(ops):
-            block = in_refs[a][:]
-            scanned = _block_scan(block, op, reverse)
-            c = carry[a]
-            out_refs[a][:] = _combine(op, scanned, c)
-            # block total from a plain reduction (cheaper for Mosaic than a
-            # scalar extract from the scanned vector)
-            tot = (jnp.sum(block) if op == "sum"
-                   else jnp.max(block) if op == "max" else jnp.min(block))
-            carry[a] = _combine(op, c, tot)
+        slot = 0
+        for op, ar in zip(ops, arities):
+            blocks = tuple(in_refs[slot + i][:] for i in range(ar))
+            scanned = _block_scan(blocks, op, reverse)
+            c = tuple(carry[slot + i] for i in range(ar))
+            out = _group_combine(op, scanned, c)
+            for i in range(ar):
+                out_refs[slot + i][:] = out[i]
+            new_c = _group_combine(op, c, _block_total(blocks, op))
+            for i in range(ar):
+                carry[slot + i] = new_c[i]
+            slot += ar
 
     return kernel
+
+
+def _twin(arrays, ops, reverse):
+    """Exact lax twin (CPU default path; also the test oracle)."""
+    outs = []
+    slot = 0
+    for op in ops:
+        if op == "sum":
+            x = arrays[slot].astype(I32)
+            outs.append(jnp.cumsum(x[::-1])[::-1].astype(I32) if reverse
+                        else jnp.cumsum(x).astype(I32))
+            slot += 1
+        elif op in ("max", "min"):
+            f = jax.lax.cummax if op == "max" else jax.lax.cummin
+            outs.append(f(arrays[slot].astype(I32), 0, reverse=reverse))
+            slot += 1
+        else:  # maxpair == cummax of (key << 32 | biased payload) in i64
+            k = arrays[slot].astype(jnp.int64)
+            v = arrays[slot + 1].astype(jnp.int64)
+            bias = jnp.int64(0x80000000)  # signed->unsigned order, low 32
+            packed = (k << 32) | ((v & jnp.int64(0xFFFFFFFF)) ^ bias)
+            m = jax.lax.cummax(packed, 0, reverse=reverse)
+            outs.append((m >> 32).astype(I32))
+            outs.append(((m & jnp.int64(0xFFFFFFFF)) ^ bias).astype(I32))
+            slot += 2
+    return tuple(outs)
 
 
 @partial(jax.jit, static_argnames=("ops", "reverse", "C", "interpret"))
@@ -139,11 +214,13 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
                interpret: bool | None = None):
     """Inclusive prefix scans of parallel i32 arrays in one fused pass.
 
-    ``arrays``: tuple of equal-length 1D i32 arrays; ``ops``: matching tuple
-    of "sum" | "max" | "min".  ``reverse=True`` scans right-to-left (the
-    ``lax.cummin(..., reverse=True)`` analogue).  Lengths need not divide
-    ``C``; the tail pads with each op's identity (which never changes a
-    real element's prefix).  Returns a tuple of scanned arrays.
+    ``ops``: tuple of "sum" | "max" | "min" (one array each) | "maxpair"
+    (two arrays: key then payload, combined by lexicographic maximum).
+    ``arrays``: the matching flat tuple of equal-length 1D i32 arrays.
+    ``reverse=True`` scans right-to-left (the ``lax.cummin(...,
+    reverse=True)`` analogue).  Lengths need not divide ``C``; the tail
+    pads with each slot's identity (which never changes a real element's
+    prefix).  Returns the flat tuple of scanned arrays.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -152,9 +229,11 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
         arrays = (arrays,)
     if isinstance(ops, str):
         ops = (ops,)
-    assert len(arrays) == len(ops) and len(arrays) >= 1
     for op in ops:
-        assert op in _IDENT, f"unknown scan op {op!r}"
+        assert op in _IDENTS, f"unknown scan op {op!r}"
+    idents = [i for op in ops for i in _IDENTS[op]]
+    assert len(arrays) == len(idents), \
+        f"ops {ops} consume {len(idents)} arrays, got {len(arrays)}"
     n = arrays[0].shape[0]
     for a in arrays:
         assert a.shape == (n,), "all scan arrays must share one 1D shape"
@@ -169,17 +248,7 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
         use_twin = interpret
 
     if use_twin:
-        outs = []
-        for x, op in zip(arrays, ops):
-            x = x.astype(I32)
-            if op == "sum":
-                outs.append(jnp.cumsum(x[::-1])[::-1] if reverse
-                            else jnp.cumsum(x).astype(I32))
-            elif op == "max":
-                outs.append(jax.lax.cummax(x, 0, reverse=reverse))
-            else:
-                outs.append(jax.lax.cummin(x, 0, reverse=reverse))
-        return tuple(o.astype(I32) for o in outs)
+        return _twin(arrays, ops, reverse)
 
     pad = (-n) % C
     np_ = n + pad
@@ -187,10 +256,10 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
     Cr = C // 128
 
     padded = []
-    for x, op in zip(arrays, ops):
+    for x, ident in zip(arrays, idents):
         x = x.astype(I32)
         if pad:
-            x = jnp.concatenate([x, jnp.full(pad, _IDENT[op], I32)])
+            x = jnp.concatenate([x, jnp.full(pad, ident, I32)])
         padded.append(x.reshape(np_ // 128, 128))
 
     if reverse:
@@ -203,7 +272,7 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
 
     spec = pl.BlockSpec((Cr, 128), lambda j: idx(j),
                         memory_space=pltpu.VMEM)
-    N = len(ops)
+    N = len(padded)
     outs = pl.pallas_call(
         _make_kernel(tuple(ops), reverse),
         grid=(nchunks,),
@@ -229,3 +298,9 @@ def cummax_i32(x, reverse=False, **kw):
 
 def cummin_i32(x, reverse=False, **kw):
     return multi_scan((x,), ("min",), reverse=reverse, **kw)[0]
+
+
+def cummax_pair(k, v, reverse=False, **kw):
+    """Lexicographic-max scan of (key, payload) -- the i32 twin of
+    ``lax.cummax((k << 32) | biased_v)`` on i64 (segmented copy/propagate)."""
+    return multi_scan((k, v), ("maxpair",), reverse=reverse, **kw)

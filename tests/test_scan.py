@@ -70,6 +70,68 @@ def test_cummax_run_start_pattern():
     np.testing.assert_array_equal(np.asarray(got), _oracle(head, "max", False))
 
 
+def _maxpair_oracle(k, v, reverse):
+    """Elementwise lexicographic running max (pure numpy)."""
+    n = k.size
+    ok = np.empty(n, np.int64)
+    ov = np.empty(n, np.int64)
+    order = range(n - 1, -1, -1) if reverse else range(n)
+    bk, bv = np.int64(np.iinfo(np.int32).min), np.int64(np.iinfo(np.int32).min)
+    for i in order:
+        if (k[i] > bk) or (k[i] == bk and v[i] >= bv):
+            bk, bv = k[i], v[i]
+        ok[i], ov[i] = bk, bv
+    return ok.astype(np.int32), ov.astype(np.int32)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_maxpair_kernel(reverse):
+    rng = np.random.default_rng(17)
+    n = 3 * C + 64
+    # few distinct keys -> many ties (payload tiebreak exercised), plus
+    # negative payloads (the i64-packed bias case)
+    k = rng.integers(-4, 4, n).astype(np.int32)
+    v = rng.integers(-1000, 1000, n).astype(np.int32)
+    gk, gv = multi_scan((jnp.asarray(k), jnp.asarray(v)), ("maxpair",),
+                        reverse=reverse, C=C, interpret=True)
+    wk, wv = _maxpair_oracle(k, v, reverse)
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_maxpair_twin_matches_packed_cummax():
+    # the CPU twin must equal expand()'s packed-int64 cummax formulation
+    rng = np.random.default_rng(23)
+    n = 5000
+    rank = np.sort(rng.integers(-1, 1000, n)).astype(np.int32)  # -1 = holes
+    val = rng.integers(0, 1 << 26, n).astype(np.int32)
+    packed = (rank.astype(np.int64) << 26) | val.astype(np.int64)
+    want = np.maximum.accumulate(packed)
+    gk, gv = multi_scan((jnp.asarray(rank), jnp.asarray(val)), ("maxpair",))
+    got = (np.asarray(gk, np.int64) << 26) | np.asarray(gv, np.int64)
+    # where rank == -1 everywhere so far, both formulations carry idents;
+    # compare only from the first real rank on
+    live = np.maximum.accumulate(rank) >= 0
+    np.testing.assert_array_equal(got[live], want[live])
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_mixed_ops_with_maxpair(reverse):
+    rng = np.random.default_rng(29)
+    n = 2 * C + 200
+    a = rng.integers(-10, 10, n).astype(np.int32)
+    k = rng.integers(-3, 3, n).astype(np.int32)
+    v = rng.integers(-99, 99, n).astype(np.int32)
+    got = multi_scan(
+        (jnp.asarray(a), jnp.asarray(k), jnp.asarray(v)),
+        ("sum", "maxpair"), reverse=reverse, C=C, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[0]),
+                                  _oracle(a, "sum", reverse))
+    wk, wv = _maxpair_oracle(k, v, reverse)
+    np.testing.assert_array_equal(np.asarray(got[1]), wk)
+    np.testing.assert_array_equal(np.asarray(got[2]), wv)
+
+
 def test_cpu_twin_matches_lax():
     # default (interpret=None) on CPU routes to the jnp twin -- same results
     rng = np.random.default_rng(9)

@@ -19,6 +19,7 @@ grep -q "28" "$OUT/health.log" || { echo "TPU unhealthy; aborting"; exit 1; }
 
 step roofline  2400 python tools/roofline.py
 step buildprof 2400 python tools/buildprof.py
+step scanbench 2400 python tools/scanbench.py
 step sortbench 1800 python tools/sortbench.py
 step oocbench  2400 python tools/oocbench.py --logp 27
 step dist_overhead 2400 python tools/dist_overhead.py --n 22
