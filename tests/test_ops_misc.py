@@ -246,6 +246,26 @@ def test_windowed_lookup_matches_gather():
     assert not bool(windowed_coverage_ok(jnp.asarray(sparse), T4, W=1024))
 
 
+def test_windowed_lookup_double_buffered():
+    """db=True (pipelined window DMA, _windowed_kernel_db) is bit-equal to
+    the serial kernel, including misses and multi-window walks."""
+    import jax.numpy as jnp
+    from hashjoin3d_tpu.ops.windowed import (
+        windowed_lookup, windowed_coverage_ok)
+
+    rng = np.random.default_rng(7)
+    T = 8192
+    table = rng.integers(1, 2**32, T, dtype=np.uint32)
+    keys = np.sort(rng.integers(0, T, 16384).astype(np.int32))
+    keys[rng.random(16384) < 0.2] = -1          # miss holes
+    assert bool(windowed_coverage_ok(jnp.asarray(keys), T, C=128, W=1024))
+    base = np.asarray(windowed_lookup(jnp.asarray(table), jnp.asarray(keys),
+                                      C=128, W=1024, interpret=True))
+    db = np.asarray(windowed_lookup(jnp.asarray(table), jnp.asarray(keys),
+                                    C=128, W=1024, interpret=True, db=True))
+    np.testing.assert_array_equal(db, base)
+
+
 def test_windowed_lookup_miss_holes():
     """Interspersed -1 miss markers (key_direct images) yield 0 without
     disturbing neighbors' windows."""

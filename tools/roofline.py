@@ -180,6 +180,16 @@ def main():
         want = table_np[np.asarray(idx_sorted)]
         assert np.array_equal(got, want), f"windowed W={W} WRONG RESULTS"
         report(f"pallas windowed lookup W={W}", t_win, bytes_moved=n * 4)
+        try:
+            t_db = timeit(lambda t, k: windowed_lookup(t, k, W=W, db=True),
+                          table, idx_sorted, min_time=mt)
+            got_db = np.asarray(windowed_lookup(table, idx_sorted, W=W,
+                                                db=True))
+            assert np.array_equal(got_db, want), f"windowed db W={W} WRONG"
+            report(f"pallas windowed db W={W}", t_db, bytes_moved=n * 4)
+        except Exception as e:
+            print(f"windowed db W={W}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
 
     # full sorted pipeline: sort (key,row) + windowed lookup
     @jax.jit
