@@ -170,17 +170,23 @@ def run_boundaries(skey: jax.Array, n_valid):
     streams at memory bandwidth while an n-element random gather costs ~10ns
     per element.
     """
+    from .scan import engine_multi_scan
+
     n = skey.shape[0]
     n_valid = jnp.asarray(n_valid).astype(I32)  # callers may pass int64 sums
     i = jnp.arange(n, dtype=I32)
     vs = i < n_valid
     is_first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     is_first = is_first & vs
-    gid = jnp.cumsum(is_first.astype(I32)) - 1
-    run_start = lax.cummax(jnp.where(is_first, i, -1), 0)
+    # one fused forward pass (cumsum + cummax) and one reverse pass; with
+    # the default "lax" impl these are the plain XLA scans
+    gid1, run_start = engine_multi_scan(
+        (is_first.astype(I32), jnp.where(is_first, i, -1)), ("sum", "max"))
+    gid = gid1 - 1
     # start of the NEXT run, filled from the right
     nxt = jnp.concatenate([jnp.where(is_first, i, n)[1:], jnp.array([n], I32)])
-    next_start = jnp.minimum(lax.cummin(nxt, 0, reverse=True), n_valid)
+    (nxt_min,) = engine_multi_scan((nxt,), ("min",), reverse=True)
+    next_start = jnp.minimum(nxt_min, n_valid)
     run_len = jnp.where(vs, next_start - run_start, 0)
     return is_first, gid, run_start, run_len
 
@@ -508,20 +514,21 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = (),
     binary-search formulation costs ~log2(out) random gathers per output slot;
     gathers are ~10 ns/elem on v5e.)
 
-    ``payloads``: optional per-segment i32 arrays (non-negative, < 2**26) to
-    propagate to every output slot of their segment.  Two shape-dependent
-    strategies (measured on v5e):
+    ``payloads``: optional per-segment i32 arrays to propagate to every
+    output slot of their segment.  Two shape-dependent strategies
+    (measured on v5e):
 
     * ``out_size <= 8 * P``: ONE out-sized gather ``pay[p]`` each
-      (~10 ns/elem).  The packed-cummax alternative pays an int64 scatter,
-      which costs ~11x its int32 twin (616 ms vs 56 ms for 4.2M updates
-      into a 16.8M buffer on v5e) -- at moderate expansion ratios the
-      gather is far cheaper.
+      (~10 ns/elem) -- at moderate expansion ratios cheaper than any
+      scatter+scan propagation.
     * ``out_size > 8 * P`` (strong expansion, e.g. 1M probes -> 16.8M
-      rows): ride a packed ``(rank << 26 | value)`` int64 cummax.  Here the
-      per-payload gather costs out_size * 10 ns while the scatter's update
-      count P is comparatively tiny; measured end-to-end (exp-1 Nrs probe
-      strand) the packed path wins by ~30%.
+      rows): a (rank, value) lexicographic-max scan (``scan.maxpair``)
+      over i32 head scatters.  Here the per-payload gather costs
+      out_size * 10 ns while the scatter's update count P is
+      comparatively tiny; measured end-to-end (exp-1 Nrs probe strand)
+      the scan propagation wins by ~30% -- and vs the earlier packed
+      ``(rank << 26 | value)`` int64 formulation it drops the i64 head
+      scatter (~11-16x an i32 one on v5e) and the 2^26 payload limit.
 
     ``with_seg_len`` appends the expansion segment's length per output slot
     (== ``counts[p]`` whenever the segment is fully materialized; the last
@@ -538,39 +545,53 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = (),
     total = cum[-1] if P > 0 else jnp.int32(0)
     off = (cum - counts).astype(I32)
 
+    from .scan import engine_multi_scan
+
     is_head = counts > 0
     tgt = jnp.where(is_head, off, out_size)  # empty segments scatter off-end
     rank = jnp.arange(P, dtype=I32)
     head_p = jnp.full(out_size, -1, I32).at[tgt].set(rank, mode="drop")
     head_off = jnp.full(out_size, -1, I32).at[tgt].set(off, mode="drop")
 
-    p = lax.cummax(head_p, 0)
-    start = lax.cummax(head_off, 0)
+    # ALL forward scans fuse into one engine pass: the p/start cummaxes
+    # plus one (rank, payload) maxpair per strong-expansion payload.  The
+    # maxpair formulation replaces the old packed (rank << 26 | value)
+    # int64 scatter + i64 cummax: an i32 head scatter costs ~11-16x less
+    # than its i64 twin on v5e (CLAUDE.md), the i64 pack (lax twin) is one
+    # elementwise pass, and the payload range limit widens from 2^26 to
+    # full i32.
+    strong = out_size > 8 * P
+    arrays = [head_p, head_off]
+    ops = ["max", "max"]
+    if strong:
+        for pay in payloads:
+            head_pay = jnp.zeros(out_size, I32).at[tgt].set(
+                jnp.asarray(pay, I32), mode="drop")
+            arrays += [head_p, head_pay]
+            ops.append("maxpair")
+    scans = engine_multi_scan(tuple(arrays), tuple(ops))
+    p, start = scans[0], scans[1]
     j = jnp.arange(out_size, dtype=I32)
     within = j - start
     valid = (j < total) & (p >= 0)
     pc = jnp.maximum(p, 0)
 
-    if out_size <= 8 * P:
-        props = [jnp.asarray(pay, I32)[pc] for pay in payloads]
+    if strong:
+        # slots 2+2i are the redundant rank scans; 2+2i+1 the payloads
+        # (garbage before the first head, where valid is False anyway)
+        props = [scans[3 + 2 * i] for i in range(len(payloads))]
     else:
-        props = []
-        for pay in payloads:
-            packed = (rank.astype(jnp.int64) << 26) | pay.astype(jnp.int64)
-            head_pl = jnp.full(out_size, -1, jnp.int64).at[tgt].set(
-                packed, mode="drop")
-            prop = lax.cummax(head_pl, 0)
-            props.append((prop & jnp.int64((1 << 26) - 1)).astype(I32))
+        props = [jnp.asarray(pay, I32)[pc] for pay in payloads]
     if with_seg_len:
         # next segment's start, filled from the right (capped by the true
         # total: the LAST segment ends at total, not out_size); its
         # distance to this segment's start IS the segment length.  One
         # reverse scan -- always cheaper than an out-sized ~10 ns/elem
-        # gather of counts[p], and ~25x cheaper than an int64 payload.
+        # gather of counts[p], and far cheaper than an int64 payload.
         nxt = jnp.where(head_off >= 0, head_off, out_size)
         nxt = jnp.concatenate([nxt[1:], jnp.array([out_size], I32)])
-        next_start = jnp.minimum(lax.cummin(nxt, 0, reverse=True),
-                                 total.astype(I32))
+        (nxt_min,) = engine_multi_scan((nxt,), ("min",), reverse=True)
+        next_start = jnp.minimum(nxt_min, total.astype(I32))
         props.append(jnp.maximum(next_start - start, 0))
 
     return (pc, within, valid, total, *props)

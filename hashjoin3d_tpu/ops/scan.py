@@ -287,6 +287,55 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
     return tuple(o.reshape(np_)[:n] for o in outs)
 
 
+#: Engine-wide scan implementation: "lax" (XLA scans) or "pallas" (this
+#: kernel).  Default stays "lax" until tools/scanbench.py shows a win on
+#: the real chip; flip with :func:`set_scan_impl`.  The pallas path
+#: self-disables on CPU backends (where only the interpreter could run)
+#: and on device-varying operands under shard_map (the kernel carries no
+#: vma plumbing) -- callers never need their own guards.
+_IMPL = "lax"
+
+
+def set_scan_impl(impl: str) -> None:
+    """Select the engine's scan implementation ("lax" | "pallas").
+
+    The choice binds at trace time: already-jitted programs keep whatever
+    they compiled with (call ``jax.clear_caches()`` to re-trace).
+    """
+    global _IMPL
+    assert impl in ("lax", "pallas"), impl
+    _IMPL = impl
+
+
+def _has_vma(*arrays) -> bool:
+    for x in arrays:
+        try:
+            if jax.typeof(x).vma:
+                return True
+        except Exception:
+            pass
+    return False
+
+
+def engine_multi_scan(arrays, ops, reverse: bool = False):
+    """:func:`multi_scan` honoring the engine-wide scan switch.
+
+    The drop-in the layout/expand call sites use: routes to the pallas
+    kernel only when enabled, compiled Mosaic is available, and no operand
+    is device-varying; otherwise computes the exact lax twin (which XLA
+    fuses into the surrounding program like the original inline scans).
+    """
+    if isinstance(arrays, jax.Array):
+        arrays = (arrays,)
+    if isinstance(ops, str):
+        ops = (ops,)
+    if (_IMPL == "pallas" and jax.default_backend() != "cpu"
+            and not _has_vma(*arrays)):
+        return multi_scan(tuple(arrays), tuple(ops), reverse=reverse,
+                          interpret=False)
+    return _twin(tuple(arrays), tuple(ops), reverse)
+
+
 def cumsum_i32(x, **kw):
     """Fused-pass ``jnp.cumsum`` for one i32 array (see :func:`multi_scan`)."""
     return multi_scan((x,), ("sum",), **kw)[0]
