@@ -1,7 +1,8 @@
 """Whole-column operators: hashing, table layouts, joins, unnest, filter."""
 
 from .hashing import murmur32, murmur32_np
-from .layout import GroupIndex, key_group_index, lookup, expand
+from .layout import (GroupIndex, key_group_index, lookup, expand,
+                     inverse_permute, set_invperm_impl)
 from .chaining import (
     ChainingTable,
     ChainProbeResult,

@@ -183,7 +183,8 @@ def build_chaining(keys: jax.Array, num_buckets: int,
     # insertion rank 0 -> chain pos 0 (directory node); rank p>0 -> pos len-p
     pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
     pos_sorted = jnp.where(vs, pos_sorted, n)
-    pos_by_row = jnp.zeros(n, I32).at[srow].set(pos_sorted)
+    from .layout import inverse_permute
+    pos_by_row = inverse_permute(srow, pos_sorted)
 
     groups = key_group_index(keys, valid)
 
@@ -207,7 +208,7 @@ def build_chaining(keys: jax.Array, num_buckets: int,
         direct_shift = (n - 1).bit_length()
         packed = row.astype(U32) | ((pos_by_row + 1).astype(U32)
                                     << jnp.uint32(direct_shift))
-        direct = jnp.zeros(n, U32).at[keys].set(packed)
+        direct = inverse_permute(keys.astype(I32), packed)
 
     from .layout import key_direct_index
     key_direct = (key_direct_index(groups, key_domain)
@@ -306,10 +307,12 @@ def _build_chaining_dense(keys, num_buckets, full_chain_index=False,
         b_sorted, num_buckets, is_first_b, run_len_b)
     rank = jnp.arange(n, dtype=I32) - run_start_b
     pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
-    pos_by_row = jnp.zeros(n, I32).at[srow].set(pos_sorted)
+    from .layout import inverse_permute
+    pos_by_row = inverse_permute(srow, pos_sorted)
 
     direct_shift = (n - 1).bit_length()
-    direct = jnp.zeros(n, U32).at[keys].set(
+    direct = inverse_permute(
+        keys.astype(I32),
         row.astype(U32) | ((pos_by_row + 1).astype(U32)
                            << jnp.uint32(direct_shift)))
 
@@ -431,7 +434,8 @@ def _build_chaining_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
     if early_exit_index:
         rank = jnp.arange(n, dtype=I32) - run_start_b
         pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
-        pos_by_row = jnp.zeros(n, I32).at[srow_b].set(pos_sorted)
+        from .layout import inverse_permute
+        pos_by_row = inverse_permute(srow_b, pos_sorted)
 
         # early-exit unique index from compact-sized gathers: the first match
         # in chain order is the bucket head (pos 0) if the group owns it,

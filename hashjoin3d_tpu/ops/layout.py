@@ -149,7 +149,7 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
     group_rows = srow
 
     gid_eff = gid if vs is None else jnp.where(vs, gid, -1)
-    gid_by_row = jnp.zeros(n, I32).at[srow].set(gid_eff)
+    gid_by_row = inverse_permute(srow, gid_eff)
 
     return GroupIndex(
         ukey=ukey,
@@ -189,6 +189,49 @@ def run_boundaries(skey: jax.Array, n_valid):
     next_start = jnp.minimum(nxt_min, n_valid)
     run_len = jnp.where(vs, next_start - run_start, 0)
     return is_first, gid, run_start, run_len
+
+
+#: Inverse-permutation formulation: "auto" (device -> sort, cpu -> scatter),
+#: "scatter" (XLA scatter, ~4.8 ns/elem serialized on v5e), or "sort"
+#: (one 2-op ``lax.sort``, ~3.0 ns/elem at 2^24 -- the measured winner on
+#: device, see tools/roofline.py's inv-perm rows).  Flip for benchmarking
+#: with :func:`set_invperm_impl`; binds at trace time.
+_INVPERM_IMPL = "auto"
+
+
+def set_invperm_impl(impl: str) -> None:
+    """Select the inverse-permutation formulation ("auto"|"scatter"|"sort")."""
+    global _INVPERM_IMPL
+    assert impl in ("auto", "scatter", "sort"), impl
+    _INVPERM_IMPL = impl
+
+
+def inverse_permute(perm: jax.Array, vals: jax.Array) -> jax.Array:
+    """``out[perm[i]] = vals[i]`` for ``perm`` an EXACT permutation of [0, n).
+
+    The builds' inverse-permutation primitive (row-order recovery of values
+    computed in sort order: ``pos_by_row``, ``gid_by_row``, dense-direct
+    images).  Two formulations, selected by :func:`set_invperm_impl`:
+
+    * scatter: ``zeros(n).at[perm].set(vals)``.  XLA lowers the 1D scatter
+      to a serialized ~4.8 ns/elem loop on v5e (81 ms at 2^24).
+    * sort: ``lax.sort((perm, vals))`` -- a permutation sorted ascending IS
+      iota, so the co-sorted payload lands in ``out[perm[i]]`` order.  The
+      2-op sort costs ~3.0 ns/elem at 2^24 (49.8 ms), ~1.6x the scatter's
+      throughput, and keeps winning down to small n (bitonic depth shrinks
+      with n while the scatter stays serialized).
+
+    The contract is strict: every output position written exactly once (no
+    sentinels, no drops).  All call sites pass a sort's row payload or a
+    verified dense-direct key permutation.
+    """
+    impl = _INVPERM_IMPL
+    if impl == "auto":
+        impl = "scatter" if jax.default_backend() == "cpu" else "sort"
+    if impl == "sort":
+        return lax.sort((perm.astype(I32), vals), num_keys=1,
+                        is_stable=False)[1]
+    return jnp.zeros(perm.shape[0], vals.dtype).at[perm].set(vals)
 
 
 @partial(jax.jit, static_argnames=("cap", "with_gid_by_row"))
@@ -257,7 +300,7 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
         first_row = jnp.where(pad, n, fetch(srow).view(I32))
 
     if with_gid_by_row:
-        gid_by_row = jnp.zeros(n, I32).at[srow].set(gid)
+        gid_by_row = inverse_permute(srow, gid)
     else:
         gid_by_row = jnp.zeros(0, I32)  # not materialized (saves one scatter)
 

@@ -153,7 +153,8 @@ def build_nested(keys: jax.Array, num_buckets: int,
     _, bucket_main_len = sorted_histogram(bm_s, num_buckets, is_first_m,
                                           run_len_m)
     pos_sorted = jnp.arange(n, dtype=I32) - run_start_m
-    main_pos_by_group = jnp.zeros(n, I32).at[gid_sorted].set(pos_sorted)
+    from .layout import inverse_permute
+    main_pos_by_group = inverse_permute(gid_sorted, pos_sorted)
 
     direct = None
     direct_shift = 0
@@ -164,7 +165,7 @@ def build_nested(keys: jax.Array, num_buckets: int,
         row = jnp.arange(n, dtype=I32)
         pos1 = main_pos_by_group[keys.astype(I32)] + 1  # key == gid
         packed = row.astype(U32) | (pos1.astype(U32) << jnp.uint32(direct_shift))
-        direct = jnp.zeros(n, U32).at[keys].set(packed)
+        direct = inverse_permute(keys.astype(I32), packed)
 
     from .layout import key_direct_index
     key_direct = (key_direct_index(groups, key_domain)
@@ -282,10 +283,12 @@ def _build_nested_dense(keys, num_buckets, hashfun="murmur"):
     _, bucket_main_len = sorted_histogram(
         b_sorted, num_buckets, is_first_b, run_len_b)
     rank = jnp.arange(n, dtype=I32) - run_start_b  # arrival order in bucket
-    pos_by_row = jnp.zeros(n, I32).at[srow].set(rank)
+    from .layout import inverse_permute
+    pos_by_row = inverse_permute(srow, rank)
 
     direct_shift = (n - 1).bit_length()
-    direct = jnp.zeros(n, U32).at[keys].set(
+    direct = inverse_permute(
+        keys.astype(I32),
         row.astype(U32) | ((pos_by_row + 1).astype(U32)
                            << jnp.uint32(direct_shift)))
 
@@ -359,7 +362,8 @@ def _build_nested_phase2(keys, skey, srow, cap, num_buckets, dense_direct,
     _, bucket_main_len = sorted_histogram(bm_s, num_buckets, is_first_m,
                                           run_len_m)
     pos_s = jnp.arange(cap, dtype=I32) - run_start
-    main_pos_by_group = jnp.zeros(cap, I32).at[gid_s].set(pos_s)
+    from .layout import inverse_permute
+    main_pos_by_group = inverse_permute(gid_s, pos_s)
 
     direct = None
     direct_shift = 0

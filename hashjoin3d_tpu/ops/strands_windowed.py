@@ -335,9 +335,9 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         srow = None
     elif probes_permutation:
         # sorted(permutation of [0,P)) == iota; srow == inverse permutation
+        from .layout import inverse_permute
         skey = jnp.arange(P, dtype=U32)
-        srow = jnp.zeros(P, I32).at[pk.astype(I32)].set(
-            jnp.arange(P, dtype=I32), mode="drop")
+        srow = inverse_permute(pk.astype(I32), jnp.arange(P, dtype=I32))
     elif mask is None:
         skey, srow = _sort_probes(pk, domain=table.key_direct.shape[0])
     sk = skey.astype(I32)

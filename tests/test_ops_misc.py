@@ -395,3 +395,60 @@ def test_stream_probe_chaining_keydirect_and_merged(unique):
         wp, wb = np.asarray(prow), np.asarray(brow)
         v = np.asarray(valid)
         assert got == sorted(zip(wp[v].tolist(), wb[v].tolist()))
+
+
+def test_inverse_permute_impls_agree():
+    from hashjoin3d_tpu.ops.layout import inverse_permute, set_invperm_impl
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 1000):
+        perm = rng.permutation(n).astype(np.int32)
+        for vals in (rng.integers(-50, 50, n).astype(np.int32),
+                     rng.integers(0, 2**32, n, dtype=np.uint64)
+                     .astype(np.uint32)):
+            outs = {}
+            for impl in ("scatter", "sort"):
+                set_invperm_impl(impl)
+                try:
+                    outs[impl] = np.asarray(
+                        inverse_permute(jnp.asarray(perm), jnp.asarray(vals)))
+                finally:
+                    set_invperm_impl("auto")
+            want = np.zeros(n, vals.dtype)
+            want[perm] = vals
+            np.testing.assert_array_equal(outs["scatter"], want)
+            np.testing.assert_array_equal(outs["sort"], want)
+            assert outs["sort"].dtype == vals.dtype
+
+
+def test_builds_bit_equal_across_invperm_impls():
+    """The builds' row-order recovery must be formulation-independent."""
+    import jax
+    from hashjoin3d_tpu.ops.chaining import build_chaining
+    from hashjoin3d_tpu.ops.nested import build_nested
+    from hashjoin3d_tpu.ops.layout import set_invperm_impl
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 64, 300, dtype=np.uint32)
+    perm_keys = rng.permutation(256).astype(np.uint32)
+
+    def snapshot():
+        ct = build_chaining(jnp.asarray(keys), 16)
+        nt = build_nested(jnp.asarray(keys), 16)
+        cd = build_chaining(jnp.asarray(perm_keys), 16, dense_direct=True)
+        nd = build_nested(jnp.asarray(perm_keys), 16, dense_direct=True)
+        leaves = jax.tree_util.tree_leaves((ct, nt, cd, nd))
+        return [np.asarray(x) for x in leaves]
+
+    try:
+        set_invperm_impl("scatter")
+        jax.clear_caches()
+        a = snapshot()
+        set_invperm_impl("sort")
+        jax.clear_caches()
+        b = snapshot()
+    finally:
+        set_invperm_impl("auto")
+        jax.clear_caches()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
