@@ -43,7 +43,15 @@ def main(argv=None):
     ap.add_argument("--min-time-ms", type=float, default=300.0,
                     help="repeat plans until this cumulative time")
     ap.add_argument("--min-repeat", type=int, default=8)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force the JAX platform (cpu runs without the TPU "
+                    "tunnel; the JAX_PLATFORMS env var is overridden by the "
+                    "axon sitecustomize, so use this flag instead)")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms",
+                          {"tpu": "axon"}.get(args.platform, args.platform))
 
     if args.param_t > args.card_R:
         print("--param-t must not be greater than --card-R", file=sys.stderr)

@@ -43,7 +43,15 @@ def main(argv=None):
     ap.add_argument("--print-paramtable", action="store_true")
     ap.add_argument("--min-time-ms", type=float, default=300.0)
     ap.add_argument("--min-repeat", type=int, default=8)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force the JAX platform (cpu runs without the TPU "
+                    "tunnel; the JAX_PLATFORMS env var is overridden by the "
+                    "axon sitecustomize, so use this flag instead)")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms",
+                          {"tpu": "axon"}.get(args.platform, args.platform))
 
     print("Running Experiment 4 with the following config:")
     for k in ("card_R", "alpha", "beta", "alpha_mult", "beta_mult",
