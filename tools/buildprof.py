@@ -105,6 +105,26 @@ def main():
     report("chaining fused build (ee=False)", t_cn)
     report("  chaining ee=False residual vs sort+cgi", t_cn - t_sort - t_cgi)
 
+    # inverse-permutation formulation A/B: the ee=True build pays one
+    # n-sized inverse permutation (pos_by_row); dense builds pay two.
+    # Decides layout._INVPERM_IMPL's device default (currently "sort").
+    from hashjoin3d_tpu.ops.layout import set_invperm_impl
+    for impl in ("scatter", "sort"):
+        set_invperm_impl(impl)
+        jax.clear_caches()
+        chain_ee_i = jax.jit(partial(chainmod._build_chaining_fused, cap=cap,
+                                     num_buckets=nb, dense_direct=False,
+                                     key_domain=dom, early_exit_index=True))
+        report(f"chaining ee=True build [invperm={impl}]",
+               timeit(chain_ee_i, keys, min_time=mt))
+        perm = jnp.asarray(rng.permutation(n).astype(np.uint32))
+        dense_i = jax.jit(partial(chainmod._build_chaining_dense,
+                                  num_buckets=n))
+        report(f"dense-direct build 2^{args.n} [invperm={impl}]",
+               timeit(dense_i, perm, min_time=mt))
+    set_invperm_impl("auto")
+    jax.clear_caches()
+
     print("\n| stage | ms |")
     print("|---|---|")
     for name, ms in rows:
