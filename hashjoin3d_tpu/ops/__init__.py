@@ -2,7 +2,7 @@
 
 from .hashing import murmur32, murmur32_np
 from .layout import (GroupIndex, key_group_index, lookup, expand,
-                     inverse_permute, set_invperm_impl)
+                     inverse_permute, set_invperm_impl, set_headcompact_impl)
 from .chaining import (
     ChainingTable,
     ChainProbeResult,

@@ -129,17 +129,32 @@ def key_group_index(keys: jax.Array, valid: jax.Array | None = None) -> GroupInd
     n_keys = jnp.maximum(gid[-1] + 1, 0)
 
     i_sorted = jnp.arange(n, dtype=I32)
-    tgt_head = jnp.where(is_first, gid, n)
-    group_start = (jnp.full(n + 1, n, I32)
-                   .at[tgt_head].set(i_sorted, mode="drop")[:n])
-    group_len = (jnp.zeros(n + 1, I32)
-                 .at[tgt_head].set(run_len.astype(I32), mode="drop")[:n])
+    if _headcompact_use_sort():
+        # Stable partition by ~is_first: the heads land first, in ascending
+        # group-id order, and the payload slots deliver every directory
+        # column in one sort -- no scatters, and no n-sized serialized
+        # gathers for ukey/first_row (XLA gathers cost ~8.6 ns/elem on v5e
+        # even at sorted indices).
+        _, start_c, len_c, ukey_c, first_c = lax.sort(
+            ((~is_first).astype(I32), i_sorted, run_len.astype(I32),
+             skey, srow), num_keys=1, is_stable=True)
+        live = i_sorted < n_keys
+        group_start = jnp.where(live, start_c, n)
+        group_len = jnp.where(live, len_c, 0)
+        ukey = jnp.where(live, ukey_c, ukey_pad(skey.dtype))
+        first_row = jnp.where(live, first_c, n).astype(I32)
+    else:
+        tgt_head = jnp.where(is_first, gid, n)
+        group_start = (jnp.full(n + 1, n, I32)
+                       .at[tgt_head].set(i_sorted, mode="drop")[:n])
+        group_len = (jnp.zeros(n + 1, I32)
+                     .at[tgt_head].set(run_len.astype(I32), mode="drop")[:n])
 
-    gvalid = group_start < n
-    ukey = jnp.where(gvalid, skey[jnp.minimum(group_start, n - 1)],
-                     ukey_pad(skey.dtype))
-    first_row = jnp.where(
-        gvalid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
+        gvalid = group_start < n
+        ukey = jnp.where(gvalid, skey[jnp.minimum(group_start, n - 1)],
+                         ukey_pad(skey.dtype))
+        first_row = jnp.where(
+            gvalid, srow[jnp.minimum(group_start, n - 1)], n).astype(I32)
 
     # group_rows stays in sorted order (= srow verbatim; invalid rows sit
     # at the tail already); the [first, rest LIFO] emission order
@@ -189,6 +204,33 @@ def run_boundaries(skey: jax.Array, n_valid):
     next_start = jnp.minimum(nxt_min, n_valid)
     run_len = jnp.where(vs, next_start - run_start, 0)
     return is_first, gid, run_start, run_len
+
+
+#: Directory head-compaction formulation: "auto" (device -> sort, cpu ->
+#: scatter), "scatter" (n-update narrow scatter at the run heads, ~4.8
+#: ns/update serialized on v5e -- ~81 ms per build at 2^24), or "sort"
+#: (stable 1-bit partition: run heads already appear in ascending group-id
+#: order, so a stable ``lax.sort`` keyed on ``~is_first`` compacts their
+#: positions -- and, on the padded path, carries run_len/srow/skey as
+#: payload slots, replacing two scatters AND two n-sized serialized
+#: directory gathers with one multi-operand sort).  Binds at trace time;
+#: tools/buildprof.py A/Bs the formulations on the real TPU.
+_HEADCOMPACT_IMPL = "auto"
+
+
+def set_headcompact_impl(impl: str) -> None:
+    """Select the directory head-compaction formulation
+    ("auto"|"scatter"|"sort")."""
+    global _HEADCOMPACT_IMPL
+    assert impl in ("auto", "scatter", "sort"), impl
+    _HEADCOMPACT_IMPL = impl
+
+
+def _headcompact_use_sort() -> bool:
+    impl = _HEADCOMPACT_IMPL
+    if impl == "auto":
+        impl = "scatter" if jax.default_backend() == "cpu" else "sort"
+    return impl == "sort"
 
 
 #: Inverse-permutation formulation: "auto" (device -> sort, cpu -> scatter),
@@ -273,9 +315,19 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
         first_row = jnp.zeros(cap, I32)
     else:
         from .strands_windowed import safe_lookup, stride_params
-        tgt = jnp.where(is_first, gid, cap)
-        head = jnp.full(cap + 1, n, I32).at[tgt].set(i, mode="drop")[:cap]
         pad = jnp.arange(cap, dtype=I32) >= jnp.minimum(gid[-1] + 1, cap)
+        if _headcompact_use_sort():
+            # stable 1-bit partition: head positions compact in gid order
+            # (~3.0 ns/elem vs the scatter's serialized ~4.8 ns/update)
+            _, s_i = lax.sort(((~is_first).astype(I32), i), num_keys=1,
+                              is_stable=True)
+            head_c = (s_i[:cap] if cap <= n else
+                      jnp.concatenate([s_i, jnp.full(cap - n, n, I32)]))
+            head = jnp.where(pad, n, head_c)
+        else:
+            tgt = jnp.where(is_first, gid, cap)
+            head = (jnp.full(cap + 1, n, I32)
+                    .at[tgt].set(i, mode="drop")[:cap])
         hp = jnp.minimum(head, n - 1)
         stride = n / cap                # heads stride by rows-per-key
         if stride <= 8:

@@ -452,3 +452,84 @@ def test_builds_bit_equal_across_invperm_impls():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_group_index_bit_equal_across_headcompact_impls():
+    """Directory head compaction (scatter vs stable 1-bit partition sort)
+    must produce bit-identical GroupIndex structures, incl. valid masks,
+    u64 keys and cap > n."""
+    import jax
+    from hashjoin3d_tpu.ops.layout import (compact_group_index,
+                                           key_group_index,
+                                           set_headcompact_impl,
+                                           sort_with_rows)
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for n, dom in ((1, 4), (300, 64), (1000, 5000)):
+        k = rng.integers(0, dom, n, dtype=np.uint32)
+        cases.append((k, None))
+        cases.append((k, rng.random(n) < 0.7))
+    k64 = rng.integers(0, 2**40, 500, dtype=np.uint64)
+    cases.append((k64, None))
+
+    def snapshot():
+        leaves = []
+        for keys, valid in cases:
+            v = None if valid is None else jnp.asarray(valid)
+            gi = key_group_index(jnp.asarray(keys), v)
+            leaves += jax.tree_util.tree_leaves(gi)
+            if valid is None:
+                skey, srow, nk = sort_with_rows(jnp.asarray(keys))
+                for cap in (int(nk), int(nk) + 7, keys.shape[0] + 13):
+                    cgi = compact_group_index(jnp.asarray(keys), skey, srow,
+                                              cap, with_gid_by_row=True)
+                    leaves += jax.tree_util.tree_leaves(cgi)
+        return [np.asarray(x) for x in leaves]
+
+    try:
+        set_headcompact_impl("scatter")
+        jax.clear_caches()
+        a = snapshot()
+        set_headcompact_impl("sort")
+        jax.clear_caches()
+        b = snapshot()
+    finally:
+        set_headcompact_impl("auto")
+        jax.clear_caches()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_builds_bit_equal_across_headcompact_impls():
+    """Full padded + host-compacted builds across head-compaction impls."""
+    import jax
+    from hashjoin3d_tpu.ops.chaining import build_chaining, build_chaining_host
+    from hashjoin3d_tpu.ops.nested import build_nested, build_nested_host
+    from hashjoin3d_tpu.ops.layout import set_headcompact_impl
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 64, 300, dtype=np.uint32)
+
+    def snapshot():
+        ct = build_chaining(jnp.asarray(keys), 16)
+        nt = build_nested(jnp.asarray(keys), 16)
+        ch = build_chaining_host(jnp.asarray(keys), 16, n_keys=64)
+        nh = build_nested_host(jnp.asarray(keys), 16, n_keys=64)
+        leaves = jax.tree_util.tree_leaves((ct, nt, ch, nh))
+        return [np.asarray(x) for x in leaves]
+
+    try:
+        set_headcompact_impl("scatter")
+        jax.clear_caches()
+        a = snapshot()
+        set_headcompact_impl("sort")
+        jax.clear_caches()
+        b = snapshot()
+    finally:
+        set_headcompact_impl("auto")
+        jax.clear_caches()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

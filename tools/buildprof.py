@@ -125,6 +125,24 @@ def main():
     set_invperm_impl("auto")
     jax.clear_caches()
 
+    # head-compaction formulation A/B: every build pays one directory
+    # head compaction in compact_group_index (the padded key_group_index
+    # additionally replaces two n-sized serialized directory gathers with
+    # sort payload slots).  Decides layout._HEADCOMPACT_IMPL's device
+    # default.
+    from hashjoin3d_tpu.ops.layout import key_group_index, set_headcompact_impl
+    for impl in ("scatter", "sort"):
+        set_headcompact_impl(impl)
+        jax.clear_caches()
+        cgi_i = jax.jit(partial(compact_group_index, cap=cap))
+        report(f"phase2 compact_group_index [headcompact={impl}]",
+               timeit(cgi_i, keys, skey, srow, min_time=mt))
+        kgi_i = jax.jit(key_group_index)
+        report(f"padded key_group_index [headcompact={impl}]",
+               timeit(kgi_i, keys, min_time=mt))
+    set_headcompact_impl("auto")
+    jax.clear_caches()
+
     print("\n| stage | ms |")
     print("|---|---|")
     for name, ms in rows:
