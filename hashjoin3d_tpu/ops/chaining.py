@@ -145,12 +145,14 @@ def can_use_dense_direct(keys_np, num_buckets: int,
 
 
 @partial(jax.jit, static_argnames=("num_buckets", "dense_direct",
-                                   "key_domain", "hashfun"))
+                                   "key_domain", "hashfun",
+                                   "early_exit_index"))
 def build_chaining(keys: jax.Array, num_buckets: int,
                    valid: jax.Array | None = None,
                    dense_direct: bool = False,
                    key_domain: int | None = None,
-                   hashfun="murmur") -> ChainingTable:
+                   hashfun="murmur",
+                   early_exit_index: bool = True) -> ChainingTable:
     """Build the chaining table from a build-side key column.
 
     Equivalent of scanning the build relation through ``AlgHashJoinBuild::step``
@@ -184,22 +186,32 @@ def build_chaining(keys: jax.Array, num_buckets: int,
     pos_sorted = jnp.where(rank == 0, 0, run_len_b - rank)
     pos_sorted = jnp.where(vs, pos_sorted, n)
     from .layout import inverse_permute
-    pos_by_row = inverse_permute(srow, pos_sorted)
+    if dense_direct or early_exit_index:
+        pos_by_row = inverse_permute(srow, pos_sorted)
+    else:
+        # full-chain-walk probes read only bucket_len (same contract as the
+        # fused/host builds' early_exit_index=False)
+        pos_by_row = jnp.zeros(0, I32)
 
     groups = key_group_index(keys, valid)
 
-    # Minimum chain position among each key's rows: the node the early-exit
-    # probe stops at.
-    gid_sorted = jnp.where(vs, groups.gid_by_row[srow], n - 1)
-    group_min_pos = jnp.full(n, n, I32).at[gid_sorted].min(
-        jnp.where(vs, pos_sorted, n))
-    # The row sitting at that minimum position: due to LIFO head-insertion this
-    # is the *last inserted* duplicate (or the bucket's directory row), and it is
-    # the tuple an early-exit probe emits (``algebra.hh:650-655``).
-    is_min = vs & (pos_sorted == group_min_pos[gid_sorted])
-    group_chain_first = (
-        jnp.full(n, -1, I32).at[gid_sorted].max(jnp.where(is_min, srow, -1))
-    )
+    if early_exit_index:
+        # Minimum chain position among each key's rows: the node the
+        # early-exit probe stops at.
+        gid_sorted = jnp.where(vs, groups.gid_by_row[srow], n - 1)
+        group_min_pos = jnp.full(n, n, I32).at[gid_sorted].min(
+            jnp.where(vs, pos_sorted, n))
+        # The row sitting at that minimum position: due to LIFO
+        # head-insertion this is the *last inserted* duplicate (or the
+        # bucket's directory row), and it is the tuple an early-exit probe
+        # emits (``algebra.hh:650-655``).
+        is_min = vs & (pos_sorted == group_min_pos[gid_sorted])
+        group_chain_first = (
+            jnp.full(n, -1, I32).at[gid_sorted]
+            .max(jnp.where(is_min, srow, -1)))
+    else:
+        group_min_pos = jnp.zeros(0, I32)
+        group_chain_first = jnp.zeros(0, I32)
 
     direct = None
     direct_shift = 0

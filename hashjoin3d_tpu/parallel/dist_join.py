@@ -225,7 +225,8 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
                 early_exit_index=unique)
         else:
             table = build_chaining(bkeys, num_buckets_per_shard,
-                                   valid=bvalid, key_domain=key_domain)
+                                   valid=bvalid, key_domain=key_domain,
+                                   early_exit_index=unique)
 
         pkeys, ppay, pvalid, povf = partition_exchange(
             axis, probe_keys, {"row": _global_rows(np_local, axis)},

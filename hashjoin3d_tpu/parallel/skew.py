@@ -120,7 +120,8 @@ def dist_broadcast_join(mesh: Mesh, num_buckets: int, out_capacity: int,
             prow_l, brow_l, ovalid, total = unnest(table, res, out_capacity)
             n_out = dict(num_unnested=lax.psum(total, axis))
         else:
-            table = build_chaining(all_build, num_buckets)
+            table = build_chaining(all_build, num_buckets,
+                                   early_exit_index=unique)
             res = probe_chaining(table, probe_keys, unique=unique)
             prow_l, brow_l, ovalid, total = materialize_chaining_join(
                 table, res, out_capacity, unique=unique)

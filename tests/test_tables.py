@@ -493,3 +493,43 @@ def test_memory_consumption():
     # slim dense-direct build: no directory arrays -> strictly smaller
     ctd = build_chaining_host(bk, 64, dense_direct=True, n_keys=256)
     assert ctd.memory_consumption()["chains"] < mem["chains"]
+
+
+def test_padded_build_early_exit_flag():
+    """early_exit_index=False on the padded build skips the chain-position
+    index; full-chain probes are bit-equal, unique probes raise."""
+    import jax
+    from hashjoin3d_tpu.ops.chaining import (build_chaining,
+                                             materialize_chaining_join,
+                                             probe_chaining)
+
+    rng = np.random.default_rng(9)
+    bk = jnp.asarray(rng.integers(0, 50, 400, dtype=np.uint32))
+    pk = jnp.asarray(rng.integers(0, 80, 300, dtype=np.uint32))
+
+    t_full = build_chaining(bk, 16)
+    t_slim = build_chaining(bk, 16, early_exit_index=False)
+    assert t_slim.group_min_pos.shape[0] == 0
+    assert t_slim.pos_by_row.shape[0] == 0
+
+    r_full = probe_chaining(t_full, pk)
+    r_slim = probe_chaining(t_slim, pk)
+    for a, b in zip(jax.tree_util.tree_leaves(r_full),
+                    jax.tree_util.tree_leaves(r_slim)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    m_full = materialize_chaining_join(t_full, r_full, 4096)
+    m_slim = materialize_chaining_join(t_slim, r_slim, 4096)
+    for a, b in zip(m_full, m_slim):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="early_exit_index"):
+        probe_chaining(t_slim, pk, unique=True)
+
+    # masked build variant
+    valid = jnp.asarray(rng.random(400) < 0.8)
+    tm = build_chaining(bk, 16, valid=valid, early_exit_index=False)
+    rm = probe_chaining(tm, pk)
+    rf = probe_chaining(build_chaining(bk, 16, valid=valid), pk)
+    assert int(rm.num_matches) == int(rf.num_matches)
+    assert int(rm.num_cmps) == int(rf.num_cmps)
