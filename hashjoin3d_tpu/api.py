@@ -238,6 +238,21 @@ def join(build_keys, probe_keys, how: str = "nested",
     if how == "chaining":
         table = build_chaining_host(bk, num_buckets, n_keys=n_keys,
                                     key_domain=key_domain, hashfun=hashfun)
+        if table.key_direct is not None and narrow:
+            # windowed keydirect strand (mirrors the nested branch below):
+            # one domain-sized lookup resolves each probe's group -- no
+            # merged (n_keys+P)-element sort.  total == matches for
+            # chaining probes, so the sizing sync reads the pre-pass.
+            from .ops.strands_windowed import keydirect_chaining_strand_sorted
+            pre = keydirect_chaining_strand_sorted(table, pk, 1,
+                                                   unique=unique)
+            m, c = (int(x) for x in jax.device_get(
+                (pre["c_htProbe"], pre["c_htProbeCmp"])))
+            out = jax.device_get(keydirect_chaining_strand_sorted(
+                table, pk, max(1, m), unique=unique))
+            v = out["probe_row"] >= 0
+            return JoinResult(out["probe_row"][v], out["build_row"][v],
+                              m, c, m)
         # merged windowed strand: ANY key width (u64 / composite / sparse
         # u32 domains ride the same fast path as dense ones -- the sort-
         # merge group resolution stays in sorted order and every downstream

@@ -238,7 +238,7 @@ def build_chaining(keys: jax.Array, num_buckets: int,
         num_buckets=num_buckets,
         direct=direct,
         direct_shift=direct_shift,
-        hashfun=hashfun if isinstance(hashfun, str) else hashfun,
+        hashfun=hashfun,
     )
 
 

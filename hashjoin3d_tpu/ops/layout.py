@@ -431,6 +431,7 @@ def sort_rows_maybe_skip(keys: jax.Array, *payloads: jax.Array):
         ops)
 
 
+@jax.jit
 def sort_with_rows(keys: jax.Array):
     """Phase 1 of the host build: sort keys with row payload + count distinct."""
     keys = keys.astype(canon_key_dtype(keys))

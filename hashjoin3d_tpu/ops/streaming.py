@@ -46,7 +46,8 @@ def _chunk_probe_direct(table, pk_chunk, n_valid, unique=True, nested=False):
     # recompute the pad contribution and subtract (pads all share one key)
     from .hashing import bucket_of, hash_key
     blen = table.bucket_main_len if nested else table.bucket_len
-    pad_b = bucket_of(hash_key(jnp.uint32(0xFFFFFFFF)), table.num_buckets)
+    pad_b = bucket_of(hash_key(jnp.uint32(0xFFFFFFFF), table.hashfun),
+                      table.num_buckets)
     pad_cmps = (blen[pad_b].astype(jnp.int64)
                 * (pk_chunk.shape[0] - n_valid))
     return (out["probe_row"], out["build_row"], out["c_htProbe"],

@@ -182,12 +182,10 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
-    # the windowed strand's pallas_call trips shard_map's vma checker (its
-    # scalar-prefetch slice mixes varying/unvarying operands in the
-    # interpreter); semantics are per-shard-local either way
-    kwargs = {}  # vma-check trial
+    # check_vma stays at its default (on): the windowed strand's
+    # varying-axis types are annotated where needed, so the checker passes
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out, **kwargs))
+                             out_specs=specs_out))
 
 
 def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
@@ -283,10 +281,8 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
         num_matches=P(), num_cmps=P(), num_results=P(), overflow=P(),
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
-    # see dist_nested_join: the pallas strand trips the vma checker
-    kwargs = {}  # vma-check trial
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out, **kwargs))
+                             out_specs=specs_out))
 
 
 def dist_nested_join_chunked(mesh: Mesh, num_buckets_per_shard: int,

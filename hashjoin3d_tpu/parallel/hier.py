@@ -241,7 +241,5 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
         build_row=P((HOST_AXIS, CHIP_AXIS)),
         out_valid=P((HOST_AXIS, CHIP_AXIS)),
     )
-    # see dist_join.dist_nested_join: the pallas strand trips the vma checker
-    kwargs = {}  # vma-check trial
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out, **kwargs))
+                             out_specs=specs_out))

@@ -196,7 +196,5 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
         num_matches=P(), num_cmps=P(), num_unnested=P(), overflow=P(),
         probe_row=P(axis), build_row=P(axis), out_valid=P(axis),
     )
-    # see dist_join.dist_nested_join: the pallas strand trips the vma checker
-    kwargs = {}  # vma-check trial
     return jax.jit(shard_map(step, mesh=mesh, in_specs=specs_in,
-                             out_specs=specs_out, **kwargs))
+                             out_specs=specs_out))

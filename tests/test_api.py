@@ -206,3 +206,18 @@ def test_join_device_windowed_paths():
     rh2 = hj.join(bk2, pk2, backend="host")
     assert (rd2.num_matches, rd2.num_cmps) == (rh2.num_matches, rh2.num_cmps)
     assert sorted(rd2.pairs()) == sorted(rh2.pairs())
+
+    # keydirect CHAINING: duplicate keys (not dense-direct eligible) with an
+    # inferable dense domain must ride the key_direct windowed strand and
+    # stay counter-equal with the host engine (review fix: the chaining
+    # branch used to build key_direct and then never read it)
+    for unique in (False, True):
+        bk3 = (rng.permutation(300)[:256].astype(np.uint32) if unique
+               else bk2)
+        rd3 = hj.join(bk3, pk2, how="chaining", unique=unique,
+                      backend="device")
+        rh3 = hj.join(bk3, pk2, how="chaining", unique=unique,
+                      backend="host")
+        assert (rd3.num_matches, rd3.num_cmps) == (rh3.num_matches,
+                                                   rh3.num_cmps)
+        assert sorted(rd3.pairs()) == sorted(rh3.pairs())

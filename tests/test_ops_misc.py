@@ -313,6 +313,42 @@ def test_stream_probe_matches_whole_column():
     assert got == sorted(zip(wp[v].tolist(), wb[v].tolist()))
 
 
+def test_stream_probe_dense_direct_nonmurmur_pad_correction():
+    """Dense-direct streaming with a non-murmur functor: the ragged tail's
+    pad-comparison correction must use the TABLE's hashfun (review fix --
+    the correction used to hash the pad key with the murmur default)."""
+    import jax
+    from hashjoin3d_tpu.models.exp1 import _chaining_probe_strand
+    from hashjoin3d_tpu.ops.chaining import build_chaining_host
+    from hashjoin3d_tpu.ops.hashing import hash_key_np
+    from hashjoin3d_tpu.ops.streaming import stream_probe_chaining
+
+    rng = np.random.default_rng(13)
+    n = 4096
+    bk = rng.permutation(n).astype(np.uint32)
+    pk = rng.integers(0, n + 32, 10000, dtype=np.uint32)  # ragged vs 4096
+    # the bug is visible only if murmur and boncz route the pad key to
+    # buckets of different chain length -- pick num_buckets so they do
+    pad = np.uint32(0xFFFFFFFF)
+    for nb in range(61, 257):
+        blen = np.bincount(hash_key_np(bk, "boncz") % np.uint32(nb),
+                           minlength=nb)
+        b_murmur = int(hash_key_np(pad, "murmur") % np.uint32(nb))
+        b_boncz = int(hash_key_np(pad, "boncz") % np.uint32(nb))
+        if blen[b_murmur] != blen[b_boncz]:
+            break
+    else:
+        pytest.fail("no num_buckets separates the pad buckets")
+    tbl = build_chaining_host(bk, nb, dense_direct=True, n_keys=n,
+                              hashfun="boncz")
+
+    want = jax.device_get(_chaining_probe_strand(
+        tbl, jax.device_put(pk), pk.size, True))
+    m, c, _ = stream_probe_chaining(tbl, pk, chunk_size=4096, unique=True)
+    assert m == int(want["c_htProbe"])
+    assert c == int(want["c_htProbeCmp"])
+
+
 @pytest.mark.parametrize("layout", ["keydirect", "merged_u32", "merged_u64"])
 def test_stream_probe_nested_matches_whole_column(layout):
     """Chunk-streamed nested probe+unnest == whole-column probe_nested +
