@@ -105,7 +105,8 @@ def join(build_keys, probe_keys, how: str = "nested",
     are the optional build hints (see ``build_*_host``).  ``backend``:
     "device" (TPU ops), "host" (the native C++ engine -- exact same
     counters, right choice for tiny ad-hoc queries where device dispatch
-    latency dominates), or "auto" (default: route small 32-bit-key queries
+    latency dominates; u32 and u64 keys both dispatch to the engine's
+    width-matched instantiation), or "auto" (default: route small queries
     to the host engine, everything else to the device; threshold
     ``HOST_CROSSOVER_ROWS``).
 
@@ -159,8 +160,7 @@ def join(build_keys, probe_keys, how: str = "nested",
     if backend == "auto":
         from .hostengine import native_engine
         small = bk.size + pk.size < HOST_CROSSOVER_ROWS
-        wide = bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8
-        backend = ("host" if small and not wide and hashfun == "murmur"
+        backend = ("host" if small and hashfun == "murmur"
                    and native_engine() is not None else "device")
 
     empty = np.zeros(0, np.int32)
@@ -183,10 +183,8 @@ def join(build_keys, probe_keys, how: str = "nested",
                                key_domain, backend, mode, hashfun)
 
     if backend == "host":
-        if bk.dtype.itemsize == 8 or pk.dtype.itemsize == 8:
-            raise ValueError(
-                "backend='host' supports 32-bit keys only (the native "
-                "engine would silently truncate u64); use backend='device'")
+        # u32 and u64 keys both dispatch to the native engine's
+        # width-matched instantiation (hj3e_*_join / hj3e_*_join64)
         from .hostengine import host_chaining_join, host_nested_join
         if how == "chaining":
             op, ob, m, c = host_chaining_join(bk, pk, num_buckets,

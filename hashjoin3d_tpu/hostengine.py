@@ -40,8 +40,26 @@ def _u32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
 
+def _u64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
 def _i64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _canon_keys(keys):
+    """Contiguous u32 or u64 key column (the engine's two instantiations,
+    like the reference's HtChaining1<uint32_t>/<uint64_t>); 64-bit input
+    with any high bit set stays u64, narrow input canonicalizes to u32."""
+    a = np.ascontiguousarray(keys)
+    if a.dtype.itemsize == 8:
+        return a.astype(np.uint64, copy=False)
+    return a.astype(np.uint32, copy=False)
+
+
+def _kp(a):
+    return _u64p(a) if a.dtype == np.uint64 else _u32p(a)
 
 
 def native_engine():
@@ -58,27 +76,30 @@ def native_engine():
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(str(_SO))
-        u32p, i32p, i64p = (ctypes.POINTER(ctypes.c_uint32),
-                            ctypes.POINTER(ctypes.c_int32),
-                            ctypes.POINTER(ctypes.c_int64))
-        argt = [u32p, ctypes.c_int64, u32p, ctypes.c_int64,
-                ctypes.c_uint32, ctypes.c_int, i32p, i32p,
-                ctypes.c_int64, i64p]
-        lib.hj3e_chaining_join.restype = ctypes.c_int64
-        lib.hj3e_chaining_join.argtypes = argt
-        lib.hj3e_nested_join.restype = ctypes.c_int64
-        lib.hj3e_nested_join.argtypes = argt
-        for create in (lib.hj3e_chaining_create, lib.hj3e_nested_create):
-            create.restype = ctypes.c_void_p
-            create.argtypes = [u32p, ctypes.c_int64, ctypes.c_uint32]
+        u32p, u64p, i32p, i64p = (ctypes.POINTER(ctypes.c_uint32),
+                                  ctypes.POINTER(ctypes.c_uint64),
+                                  ctypes.POINTER(ctypes.c_int32),
+                                  ctypes.POINTER(ctypes.c_int64))
+        for kp, sfx in ((u32p, ""), (u64p, "64")):
+            argt = [kp, ctypes.c_int64, kp, ctypes.c_int64,
+                    ctypes.c_uint32, ctypes.c_int, i32p, i32p,
+                    ctypes.c_int64, i64p]
+            for name in ("hj3e_chaining_join", "hj3e_nested_join"):
+                fn = getattr(lib, name + sfx)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = argt
+            for name in ("hj3e_chaining_create", "hj3e_nested_create"):
+                create = getattr(lib, name + sfx)
+                create.restype = ctypes.c_void_p
+                create.argtypes = [kp, ctypes.c_int64, ctypes.c_uint32]
+            probe_argt = [ctypes.c_void_p, kp, ctypes.c_int64, ctypes.c_int,
+                          i32p, i32p, ctypes.c_int64, i64p]
+            for name in ("hj3e_chaining_probe", "hj3e_nested_probe"):
+                fn = getattr(lib, name + sfx)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = probe_argt
         lib.hj3e_table_free.restype = None
         lib.hj3e_table_free.argtypes = [ctypes.c_void_p]
-        probe_argt = [ctypes.c_void_p, u32p, ctypes.c_int64, ctypes.c_int,
-                      i32p, i32p, ctypes.c_int64, i64p]
-        lib.hj3e_chaining_probe.restype = ctypes.c_int64
-        lib.hj3e_chaining_probe.argtypes = probe_argt
-        lib.hj3e_nested_probe.restype = ctypes.c_int64
-        lib.hj3e_nested_probe.argtypes = probe_argt
         two_argt = [ctypes.c_void_p, ctypes.c_void_p, u32p, ctypes.c_int64,
                     i32p, i32p, i32p, ctypes.c_int64, i64p]
         lib.hj3e_ndu_probe.restype = ctypes.c_int64
@@ -102,17 +123,21 @@ def host_chaining_join(build_keys, probe_keys, num_buckets: int,
     lib = native_engine()
     if lib is None:
         raise RuntimeError("native engine unavailable (g++ build failed?)")
-    bk = np.ascontiguousarray(build_keys, np.uint32)
-    pk = np.ascontiguousarray(probe_keys, np.uint32)
+    bk = _canon_keys(build_keys)
+    pk = _canon_keys(probe_keys)
+    wide = bk.dtype == np.uint64 or pk.dtype == np.uint64
+    if wide:
+        bk, pk = bk.astype(np.uint64), pk.astype(np.uint64)
+    fn = lib.hj3e_chaining_join64 if wide else lib.hj3e_chaining_join
     cap = int(out_cap) if out_cap is not None else max(
         16, 4 * pk.size + bk.size)
     while True:
         op = np.empty(cap, np.int32)
         ob = np.empty(cap, np.int32)
         ctr = np.zeros(2, np.int64)
-        n = lib.hj3e_chaining_join(_u32p(bk), bk.size, _u32p(pk), pk.size,
-                                   num_buckets, int(unique), _i32p(op),
-                                   _i32p(ob), cap, _i64p(ctr))
+        n = fn(_kp(bk), bk.size, _kp(pk), pk.size,
+               num_buckets, int(unique), _i32p(op),
+               _i32p(ob), cap, _i64p(ctr))
         if n >= 0:
             return op[:n].copy(), ob[:n].copy(), int(ctr[0]), int(ctr[1])
         if out_cap is not None:  # explicit cap: surface the overflow
@@ -130,8 +155,12 @@ def host_nested_join(build_keys, probe_keys, num_buckets: int,
     lib = native_engine()
     if lib is None:
         raise RuntimeError("native engine unavailable (g++ build failed?)")
-    bk = np.ascontiguousarray(build_keys, np.uint32)
-    pk = np.ascontiguousarray(probe_keys, np.uint32)
+    bk = _canon_keys(build_keys)
+    pk = _canon_keys(probe_keys)
+    wide = bk.dtype == np.uint64 or pk.dtype == np.uint64
+    if wide:
+        bk, pk = bk.astype(np.uint64), pk.astype(np.uint64)
+    fn = lib.hj3e_nested_join64 if wide else lib.hj3e_nested_join
     cap = int(out_cap) if out_cap is not None else max(
         16, 4 * pk.size + bk.size)
     if not unnest:
@@ -140,9 +169,9 @@ def host_nested_join(build_keys, probe_keys, num_buckets: int,
         op = np.empty(cap, np.int32)
         ob = np.empty(cap, np.int32)
         ctr = np.zeros(3, np.int64)
-        n = lib.hj3e_nested_join(_u32p(bk), bk.size, _u32p(pk), pk.size,
-                                 num_buckets, int(unnest), _i32p(op),
-                                 _i32p(ob), cap, _i64p(ctr))
+        n = fn(_kp(bk), bk.size, _kp(pk), pk.size,
+               num_buckets, int(unnest), _i32p(op),
+               _i32p(ob), cap, _i64p(ctr))
         if n >= 0:
             return (op[:n].copy(), ob[:n].copy(),
                     int(ctr[0]), int(ctr[1]), int(ctr[2]))
@@ -165,11 +194,13 @@ class HostTable:
         self._lib = lib
         self.kind = kind
         self.num_buckets = int(num_buckets)
-        bk = np.ascontiguousarray(build_keys, np.uint32)
+        bk = _canon_keys(build_keys)
+        self.key_dtype = bk.dtype
         self.n_rows = bk.size
-        create = (lib.hj3e_nested_create if kind == "nested"
-                  else lib.hj3e_chaining_create)
-        self._h = create(_u32p(bk), bk.size, self.num_buckets)
+        sfx = "64" if bk.dtype == np.uint64 else ""
+        create = getattr(lib, ("hj3e_nested_create" if kind == "nested"
+                               else "hj3e_chaining_create") + sfx)
+        self._h = create(_kp(bk), bk.size, self.num_buckets)
 
     def close(self):
         if getattr(self, "_h", None):
@@ -185,7 +216,12 @@ class HostTable:
     def probe(self, probe_keys, unique: bool = False, unnest: bool = True,
               out_cap: int | None = None):
         """Probe this table; same returns as host_{chaining,nested}_join."""
-        pk = np.ascontiguousarray(probe_keys, np.uint32)
+        pk = _canon_keys(probe_keys)
+        if pk.dtype == np.uint64 and self.key_dtype == np.uint32:
+            raise ValueError("u64 probe keys against a u32 table would "
+                             "truncate; build the table from u64 keys")
+        pk = pk.astype(self.key_dtype, copy=False)
+        sfx = "64" if self.key_dtype == np.uint64 else ""
         cap = int(out_cap) if out_cap is not None else max(
             16, 4 * pk.size + self.n_rows)
         if self.kind == "nested" and not unnest:
@@ -195,16 +231,16 @@ class HostTable:
             ob = np.empty(cap, np.int32)
             ctr = np.zeros(3, np.int64)
             if self.kind == "nested":
-                n = self._lib.hj3e_nested_probe(
-                    self._h, _u32p(pk), pk.size, int(unnest), _i32p(op),
+                n = getattr(self._lib, "hj3e_nested_probe" + sfx)(
+                    self._h, _kp(pk), pk.size, int(unnest), _i32p(op),
                     _i32p(ob), cap, _i64p(ctr))
                 if n >= 0:
                     return (op[:n].copy(), ob[:n].copy(),
                             int(ctr[0]), int(ctr[1]), int(ctr[2]))
                 exact = int(ctr[2])
             else:
-                n = self._lib.hj3e_chaining_probe(
-                    self._h, _u32p(pk), pk.size, int(unique), _i32p(op),
+                n = getattr(self._lib, "hj3e_chaining_probe" + sfx)(
+                    self._h, _kp(pk), pk.size, int(unique), _i32p(op),
                     _i32p(ob), cap, _i64p(ctr))
                 if n >= 0:
                     return op[:n].copy(), ob[:n].copy(), int(ctr[0]), int(ctr[1])

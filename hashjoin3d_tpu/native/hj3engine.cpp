@@ -16,6 +16,10 @@
 // so comparison counters (c_htProbeCmp) and per-group emission orders are
 // bit-equal to the reference implementation.
 //
+// Templated over the key width like the reference's HtChaining1<Tdata,...>
+// / HtNested1<Tdata,...> (u32 and u64 instantiations; bucket assignment
+// uses the width-matched murmur finalizer, util/hasht.hh:49-72).
+//
 // Role in the framework: (a) scalable differential oracle for the TPU
 // engine's randomized tests; (b) CPU fallback backend for small queries
 // where remote-compile/dispatch latency would dominate TPU execution.
@@ -30,8 +34,8 @@
 
 namespace {
 
-inline uint32_t murmur32(uint32_t x) {
-  // Murmur3 finalizer (public-domain constants; util/hasht.hh:53-61).
+inline uint32_t murmur(uint32_t x) {
+  // Murmur3 32-bit finalizer (public-domain constants; util/hasht.hh:53-61).
   x ^= x >> 16;
   x *= 0x85EBCA6Bu;
   x ^= x >> 13;
@@ -40,18 +44,29 @@ inline uint32_t murmur32(uint32_t x) {
   return x;
 }
 
+inline uint64_t murmur(uint64_t x) {
+  // Murmur3 64-bit finalizer / fmix64 (util/hasht.hh:63-72).
+  x ^= x >> 33;
+  x *= 0xFF51AFD7ED558CCDull;
+  x ^= x >> 33;
+  x *= 0xC4CEB9FE1A95EC63ull;
+  x ^= x >> 33;
+  return x;
+}
+
 // Counting-sort CSR partition of build rows by bucket (stable: arrival
 // order preserved within each bucket).
+template <class K>
 struct BucketCsr {
   std::vector<int64_t> start;  // num_buckets + 1
   std::vector<int32_t> rows;   // n, grouped by bucket, arrival order
-  std::vector<uint32_t> keys;  // key of rows[i]
+  std::vector<K> keys;         // key of rows[i]
 
-  BucketCsr(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+  BucketCsr(const K* bk, int64_t n, uint32_t nbuckets) {
     std::vector<uint32_t> bucket(n);
     start.assign((size_t)nbuckets + 1, 0);
     for (int64_t i = 0; i < n; ++i) {
-      bucket[i] = murmur32(bk[i]) % nbuckets;
+      bucket[i] = (uint32_t)(murmur(bk[i]) % (K)nbuckets);
       ++start[bucket[i] + 1];
     }
     for (uint32_t b = 0; b < nbuckets; ++b) start[b + 1] += start[b];
@@ -74,14 +89,15 @@ struct BucketCsr {
 
 // Nested (3D) table: distinct-key grouping per bucket, preserving arrival
 // orders (main chain = key first-arrival order, ht_nested.hh:286-311).
+template <class K>
 struct NestedCsr {
-  BucketCsr csr;
+  BucketCsr<K> csr;
   std::vector<int64_t> mstart;   // mains per bucket (num_buckets + 1)
-  std::vector<uint32_t> mkeys;   // main-chain keys, bucket-major
+  std::vector<K> mkeys;          // main-chain keys, bucket-major
   std::vector<int64_t> gstart;   // group start into grows, per main (+1 slot)
   std::vector<int32_t> grows;    // group rows, arrival order per key
 
-  NestedCsr(const uint32_t* bk, int64_t n, uint32_t nbuckets)
+  NestedCsr(const K* bk, int64_t n, uint32_t nbuckets)
       : csr(bk, n, nbuckets) {
     mstart.assign((size_t)nbuckets + 1, 0);
     mkeys.reserve(n);
@@ -91,14 +107,14 @@ struct NestedCsr {
     // reset is needed.  Replaces the per-row linear re-scan of the bucket's
     // distinct-key list (O(bucket_len x mains) -- quadratic for user-chosen
     // small num_buckets through api.join(backend="host")).
-    std::unordered_map<uint32_t, size_t> midx;
+    std::unordered_map<K, size_t> midx;
     midx.reserve((size_t)n);
     for (uint32_t b = 0; b < nbuckets; ++b) {
       const int64_t s = csr.start[b], e = csr.start[b + 1];
       const size_t first_main = mkeys.size();
       // pass 1: distinct keys in arrival order + group sizes
       for (int64_t i = s; i < e; ++i) {
-        const uint32_t k = csr.keys[i];
+        const K k = csr.keys[i];
         auto it = midx.find(k);
         if (it == midx.end()) {
           midx.emplace(k, mkeys.size());
@@ -119,7 +135,7 @@ struct NestedCsr {
       grows.resize(base);
       std::vector<int64_t> cur(gstart.begin() + first_main, gstart.end());
       for (int64_t i = s; i < e; ++i) {
-        const uint32_t k = csr.keys[i];
+        const K k = csr.keys[i];
         const size_t m = midx.find(k)->second;
         grows[cur[m - first_main]++] = csr.rows[i];
       }
@@ -131,8 +147,8 @@ struct NestedCsr {
 
   // findMainNodeByOther (ht_nested.hh:354-382): walk the bucket's main
   // chain; returns main index or -1, accumulates comparisons.
-  inline int64_t find_main(uint32_t k, int64_t& cmps) const {
-    const uint32_t b = murmur32(k) % nbuckets();
+  inline int64_t find_main(K k, int64_t& cmps) const {
+    const uint32_t b = (uint32_t)(murmur(k) % (K)nbuckets());
     const int64_t ms = mstart[b], me = mstart[b + 1];
     for (int64_t m = ms; m < me; ++m) {
       ++cmps;
@@ -146,54 +162,36 @@ struct NestedCsr {
 // harness time build and probe strands separately, like the reference's
 // operator strands).
 struct TableHandle {
-  int kind;  // 0 = chaining (BucketCsr), 1 = nested (NestedCsr)
+  int kind;   // 0 = chaining (BucketCsr), 1 = nested (NestedCsr)
+  int width;  // 4 or 8 (key bytes)
   uint32_t nbuckets;
-  BucketCsr* chaining = nullptr;
-  NestedCsr* nested = nullptr;
+  BucketCsr<uint32_t>* chaining = nullptr;
+  NestedCsr<uint32_t>* nested = nullptr;
+  BucketCsr<uint64_t>* chaining64 = nullptr;
+  NestedCsr<uint64_t>* nested64 = nullptr;
   ~TableHandle() {
     delete chaining;
     delete nested;
+    delete chaining64;
+    delete nested64;
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-void* hj3e_chaining_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
-  auto* h = new TableHandle;
-  h->kind = 0;
-  h->nbuckets = nbuckets;
-  h->chaining = new BucketCsr(bk, n, nbuckets);
-  return h;
-}
-
-void* hj3e_nested_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
-  auto* h = new TableHandle;
-  h->kind = 1;
-  h->nbuckets = nbuckets;
-  h->nested = new NestedCsr(bk, n, nbuckets);
-  return h;
-}
-
-void hj3e_table_free(void* hv) { delete (TableHandle*)hv; }
-
-// Probe a prebuilt chaining table (same semantics/counters as
-// hj3e_chaining_join below).
-int64_t hj3e_chaining_probe(void* hv, const uint32_t* pk, int64_t n_probe,
-                            int unique, int32_t* out_probe,
-                            int32_t* out_build, int64_t out_cap,
-                            int64_t* counters) {
-  auto& csr = *((TableHandle*)hv)->chaining;
-  const uint32_t num_buckets = ((TableHandle*)hv)->nbuckets;
+// Chaining probe over a prebuilt CSR (HtChaining1 + AlgHashJoinProbe
+// semantics, ht_chaining.hh:236-248 / algebra.hh:625-659).
+template <class K>
+int64_t chaining_probe(const BucketCsr<K>& csr, uint32_t num_buckets,
+                       const K* pk, int64_t n_probe, int unique,
+                       int32_t* out_probe, int32_t* out_build,
+                       int64_t out_cap, int64_t* counters) {
   int64_t matches = 0, cmps = 0, written = 0;
   bool overflow = false;
   for (int64_t p = 0; p < n_probe; ++p) {
-    const uint32_t k = pk[p];
-    const uint32_t b = murmur32(k) % num_buckets;
+    const K k = pk[p];
+    const uint32_t b = (uint32_t)(murmur(k) % (K)num_buckets);
     const int64_t s = csr.start[b], len = csr.start[b + 1] - s;
     for (int64_t j = 0; j < len; ++j) {
-      const int64_t a = s + BucketCsr::chain_pos_to_arrival(j, len);
+      const int64_t a = s + BucketCsr<K>::chain_pos_to_arrival(j, len);
       ++cmps;
       if (csr.keys[a] == k) {
         ++matches;
@@ -213,13 +211,14 @@ int64_t hj3e_chaining_probe(void* hv, const uint32_t* pk, int64_t n_probe,
   return overflow ? -1 : written;
 }
 
-// Probe a prebuilt nested table (same semantics/counters as
-// hj3e_nested_join below).
-int64_t hj3e_nested_probe(void* hv, const uint32_t* pk, int64_t n_probe,
-                          int do_unnest, int32_t* out_probe,
-                          int32_t* out_build, int64_t out_cap,
-                          int64_t* counters) {
-  auto& nt = *((TableHandle*)hv)->nested;
+// Nested probe (+ optional unnest) over a prebuilt table (HtNested1 +
+// AlgNestJoinProbe + AlgUnnestHt, ht_nested.hh:354-436 /
+// algebra.hh:435-541); emission order per group = [first-arrival, rest
+// LIFO].
+template <class K>
+int64_t nested_probe(const NestedCsr<K>& nt, const K* pk, int64_t n_probe,
+                     int do_unnest, int32_t* out_probe, int32_t* out_build,
+                     int64_t out_cap, int64_t* counters) {
   int64_t matches = 0, cmps = 0, unnested = 0, written = 0;
   bool overflow = false;
   for (int64_t p = 0; p < n_probe; ++p) {
@@ -227,10 +226,10 @@ int64_t hj3e_nested_probe(void* hv, const uint32_t* pk, int64_t n_probe,
     if (m < 0) continue;
     ++matches;
     const int64_t gs = nt.gstart[m], glen = nt.gstart[m + 1] - gs;
-    unnested += glen;
+    unnested += glen;  // would-be expansion size even when not unnesting
     if (do_unnest) {
       for (int64_t j = 0; j < glen; ++j) {
-        const int64_t a = gs + BucketCsr::chain_pos_to_arrival(j, glen);
+        const int64_t a = gs + BucketCsr<K>::chain_pos_to_arrival(j, glen);
         if (written < out_cap) {
           out_probe[written] = (int32_t)p;
           out_build[written] = nt.grows[a];
@@ -245,6 +244,87 @@ int64_t hj3e_nested_probe(void* hv, const uint32_t* pk, int64_t n_probe,
   counters[1] = cmps;
   counters[2] = unnested;
   return overflow ? -1 : written;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* hj3e_chaining_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+  auto* h = new TableHandle;
+  h->kind = 0;
+  h->width = 4;
+  h->nbuckets = nbuckets;
+  h->chaining = new BucketCsr<uint32_t>(bk, n, nbuckets);
+  return h;
+}
+
+void* hj3e_nested_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+  auto* h = new TableHandle;
+  h->kind = 1;
+  h->width = 4;
+  h->nbuckets = nbuckets;
+  h->nested = new NestedCsr<uint32_t>(bk, n, nbuckets);
+  return h;
+}
+
+void* hj3e_chaining_create64(const uint64_t* bk, int64_t n,
+                             uint32_t nbuckets) {
+  auto* h = new TableHandle;
+  h->kind = 0;
+  h->width = 8;
+  h->nbuckets = nbuckets;
+  h->chaining64 = new BucketCsr<uint64_t>(bk, n, nbuckets);
+  return h;
+}
+
+void* hj3e_nested_create64(const uint64_t* bk, int64_t n, uint32_t nbuckets) {
+  auto* h = new TableHandle;
+  h->kind = 1;
+  h->width = 8;
+  h->nbuckets = nbuckets;
+  h->nested64 = new NestedCsr<uint64_t>(bk, n, nbuckets);
+  return h;
+}
+
+void hj3e_table_free(void* hv) { delete (TableHandle*)hv; }
+
+// Probe a prebuilt chaining table (same semantics/counters as
+// hj3e_chaining_join below).
+int64_t hj3e_chaining_probe(void* hv, const uint32_t* pk, int64_t n_probe,
+                            int unique, int32_t* out_probe,
+                            int32_t* out_build, int64_t out_cap,
+                            int64_t* counters) {
+  auto* h = (TableHandle*)hv;
+  return chaining_probe(*h->chaining, h->nbuckets, pk, n_probe, unique,
+                        out_probe, out_build, out_cap, counters);
+}
+
+int64_t hj3e_chaining_probe64(void* hv, const uint64_t* pk, int64_t n_probe,
+                              int unique, int32_t* out_probe,
+                              int32_t* out_build, int64_t out_cap,
+                              int64_t* counters) {
+  auto* h = (TableHandle*)hv;
+  return chaining_probe(*h->chaining64, h->nbuckets, pk, n_probe, unique,
+                        out_probe, out_build, out_cap, counters);
+}
+
+// Probe a prebuilt nested table (same semantics/counters as
+// hj3e_nested_join below).
+int64_t hj3e_nested_probe(void* hv, const uint32_t* pk, int64_t n_probe,
+                          int do_unnest, int32_t* out_probe,
+                          int32_t* out_build, int64_t out_cap,
+                          int64_t* counters) {
+  return nested_probe(*((TableHandle*)hv)->nested, pk, n_probe, do_unnest,
+                      out_probe, out_build, out_cap, counters);
+}
+
+int64_t hj3e_nested_probe64(void* hv, const uint64_t* pk, int64_t n_probe,
+                            int do_unnest, int32_t* out_probe,
+                            int32_t* out_build, int64_t out_cap,
+                            int64_t* counters) {
+  return nested_probe(*((TableHandle*)hv)->nested64, pk, n_probe, do_unnest,
+                      out_probe, out_build, out_cap, counters);
 }
 
 // Exp-4 Ndu probe strand over two prebuilt nested tables
@@ -275,10 +355,10 @@ int64_t hj3e_ndu_probe(void* hs, void* ht, const uint32_t* pk,
     un2 += tlen * slen;   // Unnest(S) expands each of those rows
     for (int64_t j = 0; j < tlen; ++j) {
       const int32_t t_row =
-          T.grows[tgs + BucketCsr::chain_pos_to_arrival(j, tlen)];
+          T.grows[tgs + BucketCsr<uint32_t>::chain_pos_to_arrival(j, tlen)];
       for (int64_t i = 0; i < slen; ++i) {
         const int32_t s_row =
-            S.grows[sgs + BucketCsr::chain_pos_to_arrival(i, slen)];
+            S.grows[sgs + BucketCsr<uint32_t>::chain_pos_to_arrival(i, slen)];
         if (written < out_cap) {
           out_r[written] = (int32_t)p;
           out_s[written] = s_row;
@@ -316,19 +396,21 @@ int64_t hj3e_chj_probe(void* hs, void* ht, const uint32_t* pk,
   bool overflow = false;
   for (int64_t p = 0; p < n_probe; ++p) {
     const uint32_t k = pk[p];
-    const uint32_t bs = murmur32(k) % nbS;
+    const uint32_t bs = murmur(k) % nbS;
     const int64_t ss = S.start[bs], slen = S.start[bs + 1] - ss;
     for (int64_t j = 0; j < slen; ++j) {
-      const int64_t a = ss + BucketCsr::chain_pos_to_arrival(j, slen);
+      const int64_t a =
+          ss + BucketCsr<uint32_t>::chain_pos_to_arrival(j, slen);
       ++cS;
       if (S.keys[a] != k) continue;
       ++mS;
       const int32_t s_row = S.rows[a];
       // one T probe per materialized RS pair, hashing the pair's R key
-      const uint32_t bt = murmur32(k) % nbT;
+      const uint32_t bt = murmur(k) % nbT;
       const int64_t ts = T.start[bt], tlen = T.start[bt + 1] - ts;
       for (int64_t q = 0; q < tlen; ++q) {
-        const int64_t c = ts + BucketCsr::chain_pos_to_arrival(q, tlen);
+        const int64_t c =
+            ts + BucketCsr<uint32_t>::chain_pos_to_arrival(q, tlen);
         ++cT;
         if (T.keys[c] != k) continue;
         ++mT;
@@ -351,8 +433,8 @@ int64_t hj3e_chj_probe(void* hs, void* ht, const uint32_t* pk,
   return overflow ? -1 : written;
 }
 
-// Chaining hash join (HtChaining1 + AlgHashJoinProbe semantics,
-// ht_chaining.hh:236-248 / algebra.hh:625-659).
+// Chaining hash join, one-shot build+probe (HtChaining1 + AlgHashJoinProbe
+// semantics, ht_chaining.hh:236-248 / algebra.hh:625-659).
 // counters[0] = num_matches (c_htProbe), counters[1] = num_cmps
 // (c_htProbeCmp).  Returns number of result pairs written (all matches if
 // out_cap suffices), or -1 if out buffers were too small (counters are
@@ -362,36 +444,24 @@ int64_t hj3e_chaining_join(const uint32_t* bk, int64_t n_build,
                            uint32_t num_buckets, int unique,
                            int32_t* out_probe, int32_t* out_build,
                            int64_t out_cap, int64_t* counters) {
-  BucketCsr csr(bk, n_build, num_buckets);
-  int64_t matches = 0, cmps = 0, written = 0;
-  bool overflow = false;
-  for (int64_t p = 0; p < n_probe; ++p) {
-    const uint32_t k = pk[p];
-    const uint32_t b = murmur32(k) % num_buckets;
-    const int64_t s = csr.start[b], len = csr.start[b + 1] - s;
-    for (int64_t j = 0; j < len; ++j) {
-      const int64_t a = s + BucketCsr::chain_pos_to_arrival(j, len);
-      ++cmps;
-      if (csr.keys[a] == k) {
-        ++matches;
-        if (written < out_cap) {
-          out_probe[written] = (int32_t)p;
-          out_build[written] = csr.rows[a];
-          ++written;
-        } else {
-          overflow = true;
-        }
-        if (unique) break;
-      }
-    }
-  }
-  counters[0] = matches;
-  counters[1] = cmps;
-  return overflow ? -1 : written;
+  BucketCsr<uint32_t> csr(bk, n_build, num_buckets);
+  return chaining_probe(csr, num_buckets, pk, n_probe, unique, out_probe,
+                        out_build, out_cap, counters);
 }
 
-// Nested ("3D") hash join (HtNested1 + AlgNestJoinProbe + AlgUnnestHt,
-// ht_nested.hh:354-436 / algebra.hh:435-541).
+int64_t hj3e_chaining_join64(const uint64_t* bk, int64_t n_build,
+                             const uint64_t* pk, int64_t n_probe,
+                             uint32_t num_buckets, int unique,
+                             int32_t* out_probe, int32_t* out_build,
+                             int64_t out_cap, int64_t* counters) {
+  BucketCsr<uint64_t> csr(bk, n_build, num_buckets);
+  return chaining_probe(csr, num_buckets, pk, n_probe, unique, out_probe,
+                        out_build, out_cap, counters);
+}
+
+// Nested ("3D") hash join, one-shot build+probe (HtNested1 +
+// AlgNestJoinProbe + AlgUnnestHt, ht_nested.hh:354-436 /
+// algebra.hh:435-541).
 // counters[0] = num_matches (probe rows with a group; c_htProbe),
 // counters[1] = num_cmps over MainNodes (c_htProbeCmp),
 // counters[2] = num_unnested (c_unnest; equals written when no overflow).
@@ -401,86 +471,19 @@ int64_t hj3e_nested_join(const uint32_t* bk, int64_t n_build,
                          uint32_t num_buckets, int do_unnest,
                          int32_t* out_probe, int32_t* out_build,
                          int64_t out_cap, int64_t* counters) {
-  BucketCsr csr(bk, n_build, num_buckets);
+  NestedCsr<uint32_t> nt(bk, n_build, num_buckets);
+  return nested_probe(nt, pk, n_probe, do_unnest, out_probe, out_build,
+                      out_cap, counters);
+}
 
-  // Distinct-key grouping per bucket, preserving arrival orders.  The CSR
-  // segment for one bucket is re-grouped into (main chain order = key
-  // first-arrival order) x (group rows in arrival order).
-  std::vector<int64_t> mstart((size_t)num_buckets + 1, 0);  // mains per bucket
-  std::vector<uint32_t> mkeys;       // main-chain keys, bucket-major
-  std::vector<int64_t> gstart;       // group start into grows, per main
-  std::vector<int32_t> grows;        // group rows, arrival order per key
-  mkeys.reserve(n_build);
-  grows.reserve(n_build);
-
-  // key -> main index (see NestedCsr: one global map, no per-bucket reset)
-  std::unordered_map<uint32_t, size_t> midx;
-  midx.reserve((size_t)n_build);
-  for (uint32_t b = 0; b < num_buckets; ++b) {
-    const int64_t s = csr.start[b], e = csr.start[b + 1];
-    const size_t first_main = mkeys.size();
-    // pass 1: identify distinct keys in arrival order, count group sizes
-    for (int64_t i = s; i < e; ++i) {
-      const uint32_t k = csr.keys[i];
-      auto it = midx.find(k);
-      if (it == midx.end()) {
-        midx.emplace(k, mkeys.size());
-        mkeys.push_back(k);
-        gstart.push_back(1);  // temporarily: group length
-      } else {
-        ++gstart[it->second];
-      }
-    }
-    mstart[b + 1] = (int64_t)mkeys.size();
-    // pass 2: fill groups in arrival order
-    int64_t base = (int64_t)grows.size();
-    for (size_t m = first_main; m < mkeys.size(); ++m) {
-      int64_t len = gstart[m];
-      gstart[m] = base;
-      base += len;
-    }
-    grows.resize(base);
-    std::vector<int64_t> cur(gstart.begin() + first_main, gstart.end());
-    for (int64_t i = s; i < e; ++i) {
-      const uint32_t k = csr.keys[i];
-      const size_t m = midx.find(k)->second;
-      grows[cur[m - first_main]++] = csr.rows[i];
-    }
-  }
-  gstart.push_back((int64_t)grows.size());
-
-  int64_t matches = 0, cmps = 0, unnested = 0, written = 0;
-  bool overflow = false;
-  for (int64_t p = 0; p < n_probe; ++p) {
-    const uint32_t k = pk[p];
-    const uint32_t b = murmur32(k) % num_buckets;
-    const int64_t ms = mstart[b], me = mstart[b + 1];
-    for (int64_t m = ms; m < me; ++m) {
-      ++cmps;
-      if (mkeys[m] != k) continue;
-      ++matches;
-      const int64_t gs = gstart[m], glen = gstart[m + 1] - gs;
-      unnested += glen;  // would-be expansion size even when not unnesting
-      if (do_unnest) {
-        // emission order: first-arrival row, then the rest LIFO
-        for (int64_t j = 0; j < glen; ++j) {
-          const int64_t a = gs + BucketCsr::chain_pos_to_arrival(j, glen);
-          if (written < out_cap) {
-            out_probe[written] = (int32_t)p;
-            out_build[written] = grows[a];
-            ++written;
-          } else {
-            overflow = true;
-          }
-        }
-      }
-      break;  // findMainNodeByOther stops at the first key match
-    }
-  }
-  counters[0] = matches;
-  counters[1] = cmps;
-  counters[2] = unnested;
-  return overflow ? -1 : written;
+int64_t hj3e_nested_join64(const uint64_t* bk, int64_t n_build,
+                           const uint64_t* pk, int64_t n_probe,
+                           uint32_t num_buckets, int do_unnest,
+                           int32_t* out_probe, int32_t* out_build,
+                           int64_t out_cap, int64_t* counters) {
+  NestedCsr<uint64_t> nt(bk, n_build, num_buckets);
+  return nested_probe(nt, pk, n_probe, do_unnest, out_probe, out_build,
+                      out_cap, counters);
 }
 
 }  // extern "C"

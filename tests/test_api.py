@@ -48,7 +48,7 @@ def test_join_validates_args():
 
 
 def test_join_edge_cases():
-    """Empty sides, u64-host rejection, float-sum precision (review repros)."""
+    """Empty sides, u64 key width preserved on both backends."""
     e = np.zeros(0, np.uint32)
     r = hj.join(e, np.array([1, 2], np.uint32))
     assert r.num_results == 0 and r.pairs() == []
@@ -57,11 +57,16 @@ def test_join_edge_cases():
 
     bk64 = np.array([1, (1 << 40) | 1, 2], np.uint64)
     pk64 = np.array([1], np.uint64)
-    with pytest.raises(ValueError, match="32-bit"):
-        hj.join(bk64, pk64, backend="host")
-    # device backend distinguishes the high bits
-    r3 = hj.join(bk64, pk64)
+    # both backends distinguish the high bits (the host engine dispatches
+    # to its u64 instantiation; it must not truncate)
+    r3 = hj.join(bk64, pk64, backend="device")
     assert sorted(r3.pairs()) == [(0, 0)]
+    from hashjoin3d_tpu.hostengine import native_engine
+    if native_engine() is not None:
+        r4 = hj.join(bk64, pk64, backend="host")
+        assert sorted(r4.pairs()) == [(0, 0)]
+        assert (r4.num_matches, r4.num_cmps) == (r3.num_matches,
+                                                 r3.num_cmps)
 
 
 def test_hash_aggregate_float_precision_and_clamp():
@@ -160,8 +165,8 @@ def test_take_empty_build_column():
 
 
 def test_join_backend_auto_routing():
-    """auto = host for small 32-bit queries (when native available), device
-    for u64 keys; results identical either way."""
+    """auto = host for small queries (when native available), any key
+    width; results identical either way."""
     from hashjoin3d_tpu.hostengine import native_engine
 
     rng = np.random.default_rng(11)
@@ -176,7 +181,8 @@ def test_join_backend_auto_routing():
         rh = hj.join(bk, pk, backend="host")
         assert sorted(ra.pairs()) == sorted(rh.pairs())
 
-    # u64 keys must auto-route to device (host would truncate)
+    # u64 keys auto-route like u32 (small -> host when available); the
+    # high bits must be distinguished on every route
     bk64 = np.array([1, (1 << 40) | 1], np.uint64)
     r64 = hj.join(bk64, np.array([(1 << 40) | 1], np.uint64), backend="auto")
     assert sorted(r64.pairs()) == [(0, 1)]

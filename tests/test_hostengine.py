@@ -52,6 +52,49 @@ def test_nested_matches_python_oracle():
         assert op2.size == 0
 
 
+@pytest.mark.parametrize("how", ["chaining", "nested"])
+def test_host_engine_u64_matches_python_oracle(how):
+    """The u64 instantiation (hj3e_*_join64): murmur64 bucketing, chain
+    orders and counters vs the oracle; high bits must be distinguished."""
+    from hashjoin3d_tpu.hostengine import HostTable
+    from hashjoin3d_tpu.ops.hashing import murmur64_np
+
+    rng = np.random.default_rng(31)
+    hi = np.uint64(0x5) << np.uint64(40)
+    bk = (rng.integers(0, 60, 300).astype(np.uint64) | hi)
+    bk[::7] ^= np.uint64(1) << np.uint64(52)  # a second hi-plane
+    pk = (rng.integers(0, 80, 500).astype(np.uint64) | hi)
+
+    def hf(k):
+        return int(murmur64_np(np.uint64(k)))
+
+    nb = 16
+    if how == "chaining":
+        orc = ChainingOracle(bk, nb, hashfun=hf)
+        for unique in (False, True):
+            pairs, matches, cmps = orc.probe(pk, unique=unique)
+            op, ob, m, c = host_chaining_join(bk, pk, nb, unique=unique)
+            assert (m, c) == (matches, cmps)
+            assert list(zip(op.tolist(), ob.tolist())) == pairs
+        tbl = HostTable(bk, nb, kind="chaining")
+        op2, ob2, m2, c2 = tbl.probe(pk)
+        assert list(zip(op2.tolist(), ob2.tolist())) == orc.probe(pk)[0]
+    else:
+        orc = NestedOracle(bk, nb, hashfun=hf)
+        nested, matches, cmps = orc.probe(pk)
+        expanded = orc.unnest(nested)
+        op, ob, m, c, u = host_nested_join(bk, pk, nb)
+        assert (m, c, u) == (matches, cmps, len(expanded))
+        assert list(zip(op.tolist(), ob.tolist())) == expanded
+        tbl = HostTable(bk, nb, kind="nested")
+        op2, ob2, m2, c2, u2 = tbl.probe(pk)
+        assert (m2, c2, u2) == (matches, cmps, len(expanded))
+    # probing a u32 table with u64 keys must refuse, not truncate
+    t32 = HostTable(np.array([1, 2], np.uint32), 2, kind=how)
+    with pytest.raises(ValueError, match="truncate"):
+        t32.probe(np.array([1], np.uint64))
+
+
 def test_host_engine_vs_jax_engine_large():
     """At sizes beyond the python oracle, host C++ and TPU-path JAX engines
     must agree on matches, comparison counts and the result multiset."""

@@ -109,7 +109,7 @@ def one_trial(rng, trial):
     if dtype == np.uint32 and rng.random() < 0.3:
         kw["key_domain"] = int(bk.max()) + 1 + int(rng.integers(0, 64))
     backend = "device"
-    if hf == "murmur" and dtype == np.uint32 and rng.random() < 0.25:
+    if hf == "murmur" and rng.random() < 0.6:  # host handles u64 too
         backend = rng.choice(["auto", "host"])
 
     res = hj.join(bk, pk, how=how, unique=unique, num_buckets=num_buckets,
