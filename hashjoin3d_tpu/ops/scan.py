@@ -135,7 +135,11 @@ def _block_total(blocks, op):
     """Whole-block combine as scalars (plain reductions -- cheaper for
     Mosaic than a scalar extract from the scanned vector)."""
     if op == "sum":
-        return (jnp.sum(blocks[0]),)
+        # dtype pinned: under the package's global x64 mode jnp.sum
+        # promotes an i32 operand to an i64 accumulator, which Mosaic
+        # rejects ("64-bit types are not supported") -- only on compiled
+        # TPU runs; the CPU interpret/twin paths never see it
+        return (jnp.sum(blocks[0], dtype=I32),)
     if op == "max":
         return (jnp.max(blocks[0]),)
     if op == "min":
