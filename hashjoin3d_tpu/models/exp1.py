@@ -45,7 +45,8 @@ from ..ops import (
 from ..ops.stats import chaining_statistics, nested_statistics
 from ..utils import exp1_data
 from ..utils.csv_writer import CSVWriter
-from ..utils.measure import Timers, fence, repeat_mintime
+from ..utils.measure import (Timers, fence, repeat_mintime,
+                             repeat_mintime_fenced)
 
 PLAN_NAMES = ["scr", "scs", "Csr", "CsrUU", "Crs", "Nsr", "Nrs", "NrsNU"]
 
@@ -293,25 +294,6 @@ class Experiment1:
         wire plan, repeat_mintime over (build strand; probe strand), HT stats,
         one CSV row."""
         self.timers.start(f"run{name}")
-        state = {}
-        durs = dict(build=0.0, probe=0.0, total=0.0, last_probe=0.0)
-
-        import time
-
-        def once():
-            t0 = time.perf_counter()
-            table = build_fn(build_keys)
-            fence(table)
-            t1 = time.perf_counter()
-            out = probe_fn(table, probe_keys)
-            fence(out)
-            t2 = time.perf_counter()
-            durs["build"] += t1 - t0
-            durs["probe"] += t2 - t1
-            durs["total"] += t2 - t0
-            durs["last_probe"] = t2 - t1
-            state["table"] = table
-            state["out"] = out
 
         # warm-up: compile both strands (and the fence programs) outside the
         # timed region; steady state is what the reference's repetition
@@ -324,10 +306,24 @@ class Experiment1:
         fence(probe_fn(wt, probe_keys))
         del wt
 
-        _, reps = repeat_mintime(self.min_runtime_s, once,
-                                 min_repeat=self.min_repeat)
-
-        table, out = state["table"], state["out"]
+        # fence-amortized batched strands (utils/measure.py): the reference
+        # times n synchronous (build; probe) reps (main_experiment1.cc:
+        # 664-677); through the axon tunnel a per-rep fence costs a ~31 ms
+        # HTTP round trip that is measurement artifact, not strand work.
+        # Each strand phase therefore enqueues its whole batch and fences
+        # once -- same total device work (n fresh builds; n probes of the
+        # same table, which the probe strands never mutate), RTT amortized
+        # to <= 1/n per rep.
+        t_build, reps_b, table = repeat_mintime_fenced(
+            self.min_runtime_s, lambda: build_fn(build_keys),
+            min_repeat=self.min_repeat)
+        t_probe, reps, out = repeat_mintime_fenced(
+            self.min_runtime_s, lambda: probe_fn(table, probe_keys),
+            min_repeat=self.min_repeat)
+        durs = dict(build=t_build / reps_b * reps,
+                    probe=t_probe,
+                    total=(t_build / reps_b + t_probe / reps) * reps,
+                    last_probe=t_probe / reps)
         stats = (nested_statistics if impl == "nested"
                  else chaining_statistics)(table)
 

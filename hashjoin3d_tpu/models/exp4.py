@@ -39,7 +39,8 @@ from ..ops import (
 )
 from ..utils import exp4_data
 from ..utils.csv_writer import CSVWriter
-from ..utils.measure import Timers, fence, repeat_mintime
+from ..utils.measure import (Timers, fence, repeat_mintime,
+                             repeat_mintime_fenced)
 
 PLAN_NAMES = ["Ndu", "Chj", "Nnu"]
 
@@ -398,25 +399,7 @@ class Experiment4:
                                out1=max(self.calc_join_card1(), 1),
                                out2=max(self.calc_join_card2(), 1))
 
-        durs = dict(bs=0.0, bt=0.0, probe=0.0, total=0.0)
         state = {}
-
-        def once():
-            t0 = time.perf_counter()
-            tbl_s = build_fn(self._sa, num_dv_fk)
-            fence(tbl_s)
-            t1 = time.perf_counter()
-            tbl_t = build_fn(self._ta, num_dv_fk)
-            fence(tbl_t)
-            t2 = time.perf_counter()
-            out = probe_fn(tbl_s, tbl_t, self._rk)
-            fence(out)
-            t3 = time.perf_counter()
-            durs["bs"] += t1 - t0
-            durs["bt"] += t2 - t1
-            durs["probe"] += t3 - t2
-            durs["total"] += t3 - t0
-            state["out"] = out
 
         # compile outside the timed region (see exp1); free the warm-up
         # tables before timing -- holding them across the loop inflates HBM
@@ -433,9 +416,25 @@ class Experiment4:
         state["mem_t"] = wt.memory_consumption()
         del ws, wt
 
-        _, reps = repeat_mintime(self.min_runtime_s, once,
-                                 min_repeat=self.min_repeat)
-        out = state["out"]
+        # fence-amortized batched strands (utils/measure.py, see exp1's
+        # _run_join_plan): the reference times n synchronous (build S;
+        # build T; probe) reps (main_experiment4.cc:869-886); through the
+        # axon tunnel each per-rep fence is a ~31 ms HTTP round trip of
+        # measurement artifact, so each strand phase enqueues its batch and
+        # fences once -- same device work, RTT amortized to <= 1/n.
+        t_bs, reps_bs, tbl_s = repeat_mintime_fenced(
+            self.min_runtime_s, lambda: build_fn(self._sa, num_dv_fk),
+            min_repeat=self.min_repeat)
+        t_bt, reps_bt, tbl_t = repeat_mintime_fenced(
+            self.min_runtime_s, lambda: build_fn(self._ta, num_dv_fk),
+            min_repeat=self.min_repeat)
+        t_p, reps, out = repeat_mintime_fenced(
+            self.min_runtime_s, lambda: probe_fn(tbl_s, tbl_t, self._rk),
+            min_repeat=self.min_repeat)
+        durs = dict(bs=t_bs / reps_bs * reps, bt=t_bt / reps_bt * reps,
+                    probe=t_p,
+                    total=(t_bs / reps_bs + t_bt / reps_bt
+                           + t_p / reps) * reps)
 
         if self.trace:
             print(f"Plan {name}: reps {reps}, "

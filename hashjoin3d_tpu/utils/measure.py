@@ -50,6 +50,36 @@ def fence(tree) -> None:
     jax.device_get(fn(*leaves))
 
 
+def repeat_mintime_fenced(min_time_s: float, enqueue, min_repeat: int = 8):
+    """Amortized-fence doubling protocol for async device backends.
+
+    Enqueues ``n`` reps back-to-back and fences ONCE on the last rep's
+    outputs (TPU executions on one device run in submission order, so the
+    last output existing implies the whole batch ran), timing the batch;
+    doubles ``n`` until the batch exceeds ``min_time_s``.  Returns
+    ``(batch_seconds, n_reps, last_output)``.
+
+    This is the device-time analogue of the reference's synchronous loop
+    (``util/measure_helpers.hh:15-41``): on a local chip a per-rep
+    ``block_until_ready`` costs microseconds, but through the axon tunnel a
+    fence is a ~31 ms HTTP round trip -- fencing every rep (the round-3
+    protocol) counts that RTT once per rep and buries the actual device
+    time.  Here it amortizes to ``RTT/n``, matching the fence-amortized
+    methodology every roofline number already uses (tools/roofline.py).
+    """
+    n = min_repeat
+    while True:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = enqueue()
+        fence(out)
+        total = time.perf_counter() - t0
+        if total >= min_time_s:
+            return total, n, out
+        n *= 2
+
+
 def repeat_mintime(min_time_s: float, func, teardown=lambda: None,
                    teardown_after_last: bool = False, min_repeat: int = 1):
     n = min_repeat

@@ -263,3 +263,56 @@ def test_merged_chaining_strand_sorted(wide, unique):
         tbl, pk, 1, unique=unique, do_expand=False))
     assert int(pre["c_htProbe"]) == total
     assert int(pre["c_htProbeCmp"]) == int(res.num_cmps)
+
+
+# -- route observability (VERDICT r3 weak #4) ---------------------------------
+
+
+def test_route_codes_surface_per_strand():
+    """safe_lookup's routing decision (windowed / patched / gather) is
+    visible in strand outputs, so a silent fast-path regression fails a
+    test instead of only slowing the wall clock."""
+    import jax.numpy as jnp
+
+    from hashjoin3d_tpu.ops.strands_windowed import (
+        ROUTE_GATHER, ROUTE_PATCHED, ROUTE_WINDOWED, _with_route)
+
+    @_with_route
+    def lookup(values, keys, **kw):
+        return {"v": safe_lookup(values, keys, **kw)}
+
+    rng = np.random.default_rng(11)
+    vals = jnp.asarray(rng.integers(1, 2**31, 1 << 14, dtype=np.uint32))
+
+    # fully sorted stream with chunk spread < W: pure windowed
+    ks = np.sort(rng.integers(0, 1 << 12, 8192)).astype(np.int32)
+    out = lookup(vals, jnp.asarray(ks))
+    assert int(out["route_worst"]) == ROUTE_WINDOWED
+    assert int(out["route_nbad"]) == 0
+
+    # segment-restarting stream, misaligned wrap: a few patched chunks
+    seg = 4096
+    ks = np.concatenate([
+        np.sort(rng.integers(0, 1 << 14, seg)).astype(np.int32)[
+            np.r_[np.arange(137, seg), np.arange(137)]]
+        for _ in range(4)])
+    out = lookup(vals, jnp.asarray(ks))
+    assert int(out["route_worst"]) == ROUTE_PATCHED
+    assert 0 < int(out["route_nbad"]) <= 64
+
+    # fully random stream beyond the patch budget: whole-stream gather
+    ks = rng.integers(0, 1 << 14, 1 << 15).astype(np.int32)
+    out = lookup(vals, jnp.asarray(ks), max_patch=4)
+    assert int(out["route_worst"]) == ROUTE_GATHER
+
+
+def test_direct_strand_route_is_windowed():
+    """The canonical strand shape (scaled down) must take the pure
+    windowed route end to end."""
+    rng = np.random.default_rng(12)
+    n, P = 4096, 32768
+    bk = rng.permutation(n).astype(np.uint32)
+    pk = rng.integers(0, n, P, dtype=np.uint32)  # no misses: no cond walks
+    tbl = build_chaining_host(bk, n, dense_direct=True, n_keys=n)
+    out = jax.device_get(direct_probe_strand_sorted(tbl, pk, unique=True))
+    assert int(out["route_worst"]) == 0, int(out["route_nbad"])

@@ -163,7 +163,10 @@ def main():
         bytes_moved=4 * n * 4)
 
     # -- Pallas windowed lookup ------------------------------------------------
-    for W in (1024, 2048):
+    # W sweep sizes the segment-policy tradeoff (ops/sort.py): if wider
+    # windows are ~free (DMA-latency-bound, not select-loop-bound), smaller
+    # sort segments + W=4096/8192 lookups beat (16, 2^20) + W=2048
+    for W in (1024, 2048, 4096, 8192):
         ok = bool(windowed_coverage_ok(idx_sorted, T, W=W))
         if not ok:
             print(f"windowed W={W}: coverage FAILED (spread too wide)",
@@ -203,6 +206,22 @@ def main():
         report("sort + windowed (full pipeline)", t_pipe, bytes_moved=n * 4)
     except Exception as e:
         print(f"sorted pipeline FAILED: {type(e).__name__}: {e}", flush=True)
+
+    # u64 values as (hi, lo) u32 planes: two windowed passes over the same
+    # sorted key stream (VERDICT r3 item 7; CLAUDE.md "i64 gather = exactly
+    # two i32 gathers" -- the windowed twin should land at ~2x the u32 row)
+    @jax.jit
+    def windowed_u64_pair(thi, tlo, k):
+        return windowed_lookup(thi, k), windowed_lookup(tlo, k)
+
+    try:
+        t64 = timeit(windowed_u64_pair, table, table, idx_sorted,
+                     min_time=mt)
+        report("pallas windowed (hi,lo) u64 value pair", t64,
+               bytes_moved=2 * n * 4)
+    except Exception as e:
+        print(f"windowed u64 pair FAILED: {type(e).__name__}: {e}",
+              flush=True)
 
     # -- strand-level: u64 merged vs u32 keydirect probe (n over T) -----------
     # the VERDICT r2 item-6 bar: u64 probes must run <= 2x the u32 windowed

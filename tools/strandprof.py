@@ -66,14 +66,17 @@ def main():
     row("FULL strand, do_unnest=False", lambda t, p: full_nu(t, p), tbl, pk)
 
     # stage 1: probe sort (segmented, domain=T)
-    sort1 = jax.jit(lambda p: _sort_probes(p, domain=T))
+    sort1 = jax.jit(lambda p: _sort_probes(p, domain=T)[:2])
     skey, srow = sort1(pk)
     fence((skey, srow))
     row("1 _sort_probes (segmented)", sort1, pk)
     sk = skey.astype(I32)
 
-    # stage 2: key_direct windowed lookup + derived streams
-    kd = jax.jit(lambda t, s, k: _keydirect_probe(t, s, k))
+    # stage 2: key_direct windowed lookup + derived streams (the strand's
+    # segment-aware window width, ops/sort.py:window_for_chunk)
+    from hashjoin3d_tpu.ops.sort import probe_sort_chunk, window_for_chunk
+    Wk = window_for_chunk(probe_sort_chunk(P, T), T)
+    kd = jax.jit(lambda t, s, k: _keydirect_probe(t, s, k, W=Wk))
     g, hit, glen, pos1, miss_cmps = kd(tbl, sk, skey)
     fence(g)
     row("2 _keydirect_probe (kd+glen+pos1+miss)", kd, tbl, sk, skey)
