@@ -93,7 +93,7 @@ def join(build_keys, probe_keys, how: str = "nested",
          num_buckets: int | None = None, unique: bool = False,
          n_keys: int | None = None, key_domain: int | None = None,
          backend: str = "auto", mode: str = "inner",
-         hashfun="murmur", predicate=None,
+         hashfun="murmur", predicate=None, predicate_mode: str = "post",
          probe_payload: dict | None = None,
          build_payload: dict | None = None) -> JoinResult:
     """Equi-join ``probe_keys`` against ``build_keys``; returns row-id pairs.
@@ -122,20 +122,32 @@ def join(build_keys, probe_keys, how: str = "nested",
     reference's ``Thashfun`` / ``Tprobehashfun`` contract,
     ``ht_chaining.hh:236-248``, ``ht_nested.hh:355-363``): a
     ``ops.hashing.HASH_FUNCTORS`` name ("murmur" default, "boncz", "fib",
-    "mult", "identity") or any traceable callable.  The native host engine
-    is murmur-only, so a non-default functor always runs on the device.
+    "mult", "identity") or any traceable callable.  Registry names work on
+    every backend (the native host engine carries the same functor table,
+    ``hostengine.HASHFUN_IDS``); callables cannot cross the C ABI and
+    always run on the device.
 
-    ``predicate`` adds a residual (non-equi) filter over matched pairs
+    ``predicate`` adds a join predicate beyond hash equality
     (``alg_binary_predicate_c``, ``concepts.hh:49-56``): a callable
-    ``predicate(probe_cols, build_cols) -> bool array`` evaluated on the
-    materialized pairs' payload columns (``probe_payload`` /
-    ``build_payload`` dicts of name -> column).  Divergence from the
-    reference, by design: the reference evaluates the predicate inside the
-    chain walk (``algebra.hh:647-648``), here it post-filters the
-    hash-equality matches -- ``num_matches``/``num_results`` count pairs
-    that SURVIVE the filter, while ``num_cmps`` still counts the underlying
-    hash-chain comparisons (equality is all the reference experiments ever
-    instantiate, so their counters are unaffected).
+    ``predicate(probe_cols, build_cols) -> bool array`` over the candidate
+    pairs' payload columns (``probe_payload`` / ``build_payload`` dicts of
+    name -> column; the join keys are always provided under ``"key"``).
+    ``predicate_mode`` selects the semantics:
+
+    * ``"post"`` (default, the fast path): the predicate post-filters the
+      hash-EQUALITY matches -- ``num_matches``/``num_results`` count pairs
+      that survive, while ``num_cmps`` still counts the underlying
+      hash-chain comparisons (equality is all the reference experiments
+      ever instantiate, so their counters are unaffected).
+    * ``"inchain"``: reference-exact counter parity -- the predicate is
+      evaluated INSIDE the chain walk exactly as the reference does it
+      (``algebra.hh:625-659``: candidates are hashvalue-equal chain nodes,
+      IsBuildKeyUnique breaks at the first passing node so ``num_cmps``
+      depends on the predicate; ``ht_nested.hh:354-382``: one evaluation
+      per distinct-key main node against the group's first tuple, the
+      matched group emits wholesale).  Host-side simulation
+      (``ops/predicate.py``); differentially pinned against a
+      predicate-parameterized oracle in ``tests/test_genericity.py``.
     """
     if how not in ("nested", "chaining"):
         raise ValueError(f"how must be 'nested' or 'chaining', got {how!r}")
@@ -144,23 +156,32 @@ def join(build_keys, probe_keys, how: str = "nested",
             f"backend must be 'device', 'host' or 'auto', got {backend!r}")
     if mode not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown mode {mode!r}")
-    if hashfun != "murmur" and backend == "host":
+    if callable(hashfun) and backend == "host":
         raise ValueError(
-            "backend='host' supports hashfun='murmur' only (the native "
-            "engine pins murmur); use backend='device'")
+            "backend='host' supports registry hash functors only "
+            "(callables cannot cross the C ABI); use backend='device'")
 
     bk = np.ascontiguousarray(build_keys)
     pk = np.ascontiguousarray(probe_keys)
 
     if predicate is not None:
+        if predicate_mode not in ("post", "inchain"):
+            raise ValueError(
+                f"predicate_mode must be 'post' or 'inchain', "
+                f"got {predicate_mode!r}")
+        if predicate_mode == "inchain":
+            return _join_with_predicate_inchain(
+                bk, pk, how, num_buckets, unique, n_keys, mode, hashfun,
+                predicate, probe_payload or {}, build_payload or {})
         return _join_with_predicate(
             bk, pk, how, num_buckets, unique, n_keys, key_domain, backend,
             mode, hashfun, predicate, probe_payload or {}, build_payload or {})
 
     if backend == "auto":
-        from .hostengine import native_engine
+        from .hostengine import HASHFUN_IDS, native_engine
         small = bk.size + pk.size < HOST_CROSSOVER_ROWS
-        backend = ("host" if small and hashfun == "murmur"
+        backend = ("host" if small and not callable(hashfun)
+                   and hashfun in HASHFUN_IDS
                    and native_engine() is not None else "device")
 
     empty = np.zeros(0, np.int32)
@@ -188,9 +209,10 @@ def join(build_keys, probe_keys, how: str = "nested",
         from .hostengine import host_chaining_join, host_nested_join
         if how == "chaining":
             op, ob, m, c = host_chaining_join(bk, pk, num_buckets,
-                                              unique=unique)
+                                              unique=unique, hashfun=hashfun)
             return JoinResult(op, ob, m, c, op.size)
-        op, ob, m, c, u = host_nested_join(bk, pk, num_buckets)
+        op, ob, m, c, u = host_nested_join(bk, pk, num_buckets,
+                                           hashfun=hashfun)
         return JoinResult(op, ob, m, c, u)
 
     import jax
@@ -370,6 +392,8 @@ def _join_with_predicate(bk, pk, how, num_buckets, unique, n_keys,
              for n, c in probe_payload.items()}
     bcols = {n: np.asarray(c)[inner.build_rows]
              for n, c in build_payload.items()}
+    pcols.setdefault("key", pk[inner.probe_rows])
+    bcols.setdefault("key", bk[inner.build_rows])
     keep = np.asarray(predicate(pcols, bcols), bool)
     if keep.shape != inner.probe_rows.shape:
         raise ValueError(
@@ -395,3 +419,68 @@ def _join_with_predicate(bk, pk, how, num_buckets, unique, n_keys,
             prow.size, inner.num_cmps, prow.size + miss.size)
     return JoinResult(rows, np.full(rows.size, -1, np.int32),
                       prow.size, inner.num_cmps, rows.size)
+
+
+def _join_with_predicate_inchain(bk, pk, how, num_buckets, unique, n_keys,
+                                 mode, hashfun, predicate, probe_payload,
+                                 build_payload):
+    """Reference-exact in-chain predicate join (``predicate_mode="inchain"``,
+    ``algebra.hh:625-659``, ``ht_nested.hh:354-382``): counters reflect the
+    predicate evaluated inside the chain walk, via the host-side chain-order
+    simulation in ``ops/predicate.py``.  left/semi/anti derive from the
+    surviving matches, as in the "post" path.
+    """
+    from .ops.predicate import chaining_inchain_probe, nested_inchain_probe
+
+    if hashfun != "murmur" and not isinstance(hashfun, str):
+        raise ValueError(
+            "predicate_mode='inchain' needs a registry hash functor name "
+            "(the host-side walk uses the numpy functor mirrors)")
+    empty = np.zeros(0, np.int32)
+    if bk.size == 0 or pk.size == 0:
+        if mode in ("left", "anti") and pk.size:
+            rows = np.arange(pk.size, dtype=np.int32)
+            return JoinResult(rows, np.full(pk.size, -1, np.int32),
+                              0, 0, pk.size)
+        return JoinResult(empty, empty, 0, 0, 0)
+    if num_buckets is None:
+        num_buckets = max(1, n_keys if n_keys is not None
+                          else int(np.unique(bk).size))
+
+    def evaluate(p_idx, b_rows):
+        pcols = {n: np.asarray(c)[p_idx] for n, c in probe_payload.items()}
+        bcols = {n: np.asarray(c)[b_rows] for n, c in build_payload.items()}
+        pcols.setdefault("key", pk[p_idx])
+        bcols.setdefault("key", bk[b_rows])
+        keep = np.asarray(predicate(pcols, bcols), bool)
+        if keep.shape != p_idx.shape:
+            raise ValueError(
+                f"predicate returned shape {keep.shape}, expected "
+                f"{p_idx.shape}")
+        return keep
+
+    if how == "chaining":
+        prow, brow, m, c = chaining_inchain_probe(
+            bk, pk, num_buckets, unique, evaluate, hashfun)
+        total = prow.size
+    else:
+        prow, brow, m, c, total = nested_inchain_probe(
+            bk, pk, num_buckets, evaluate, hashfun)
+
+    if mode == "inner":
+        return JoinResult(prow, brow, m, c, total)
+
+    hit = np.zeros(pk.shape[0], bool)
+    hit[prow] = True
+    if mode == "semi":
+        rows = np.nonzero(hit)[0].astype(np.int32)
+    elif mode == "anti":
+        rows = np.nonzero(~hit)[0].astype(np.int32)
+    else:  # left
+        miss = np.nonzero(~hit)[0].astype(np.int32)
+        return JoinResult(
+            np.concatenate([prow, miss]),
+            np.concatenate([brow, np.full(miss.size, -1, np.int32)]),
+            m, c, total + miss.size)
+    return JoinResult(rows, np.full(rows.size, -1, np.int32), m, c,
+                      rows.size)

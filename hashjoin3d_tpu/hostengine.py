@@ -31,6 +31,21 @@ _SO = _DIR / "libhj3engine.so"
 _lib = None
 _lib_tried = False
 
+#: Registry-functor ids shared with the C ABI (native/hj3engine.cpp
+#: ``HashFunId``); mirrors ``ops.hashing.HASH_FUNCTORS`` so any registry
+#: hash works on the host backend too (the reference's Thashfun contract,
+#: util/hasht.hh:17-113).  Callable functors stay device-only.
+HASHFUN_IDS = {"murmur": 0, "boncz": 1, "fib": 2, "mult": 3, "identity": 4}
+
+
+def _hf_id(hashfun) -> int:
+    try:
+        return HASHFUN_IDS[hashfun]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"host backend supports registry hash functors "
+            f"{sorted(HASHFUN_IDS)} only, got {hashfun!r}") from None
+
 
 def _i32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
@@ -83,7 +98,7 @@ def native_engine():
         for kp, sfx in ((u32p, ""), (u64p, "64")):
             argt = [kp, ctypes.c_int64, kp, ctypes.c_int64,
                     ctypes.c_uint32, ctypes.c_int, i32p, i32p,
-                    ctypes.c_int64, i64p]
+                    ctypes.c_int64, i64p, ctypes.c_uint32]
             for name in ("hj3e_chaining_join", "hj3e_nested_join"):
                 fn = getattr(lib, name + sfx)
                 fn.restype = ctypes.c_int64
@@ -91,7 +106,8 @@ def native_engine():
             for name in ("hj3e_chaining_create", "hj3e_nested_create"):
                 create = getattr(lib, name + sfx)
                 create.restype = ctypes.c_void_p
-                create.argtypes = [kp, ctypes.c_int64, ctypes.c_uint32]
+                create.argtypes = [kp, ctypes.c_int64, ctypes.c_uint32,
+                                   ctypes.c_uint32]
             probe_argt = [ctypes.c_void_p, kp, ctypes.c_int64, ctypes.c_int,
                           i32p, i32p, ctypes.c_int64, i64p]
             for name in ("hj3e_chaining_probe", "hj3e_nested_probe"):
@@ -113,7 +129,8 @@ def native_engine():
 
 
 def host_chaining_join(build_keys, probe_keys, num_buckets: int,
-                       unique: bool = False, out_cap: int | None = None):
+                       unique: bool = False, out_cap: int | None = None,
+                       hashfun="murmur"):
     """Chaining hash join on the host engine.
 
     Returns ``(probe_rows, build_rows, num_matches, num_cmps)``; the pair
@@ -137,7 +154,7 @@ def host_chaining_join(build_keys, probe_keys, num_buckets: int,
         ctr = np.zeros(2, np.int64)
         n = fn(_kp(bk), bk.size, _kp(pk), pk.size,
                num_buckets, int(unique), _i32p(op),
-               _i32p(ob), cap, _i64p(ctr))
+               _i32p(ob), cap, _i64p(ctr), _hf_id(hashfun))
         if n >= 0:
             return op[:n].copy(), ob[:n].copy(), int(ctr[0]), int(ctr[1])
         if out_cap is not None:  # explicit cap: surface the overflow
@@ -146,7 +163,8 @@ def host_chaining_join(build_keys, probe_keys, num_buckets: int,
 
 
 def host_nested_join(build_keys, probe_keys, num_buckets: int,
-                     unnest: bool = True, out_cap: int | None = None):
+                     unnest: bool = True, out_cap: int | None = None,
+                     hashfun="murmur"):
     """3D/nested hash join on the host engine.
 
     Returns ``(probe_rows, build_rows, num_matches, num_cmps, num_unnested)``
@@ -171,7 +189,7 @@ def host_nested_join(build_keys, probe_keys, num_buckets: int,
         ctr = np.zeros(3, np.int64)
         n = fn(_kp(bk), bk.size, _kp(pk), pk.size,
                num_buckets, int(unnest), _i32p(op),
-               _i32p(ob), cap, _i64p(ctr))
+               _i32p(ob), cap, _i64p(ctr), _hf_id(hashfun))
         if n >= 0:
             return (op[:n].copy(), ob[:n].copy(),
                     int(ctr[0]), int(ctr[1]), int(ctr[2]))
@@ -187,7 +205,8 @@ class HostTable:
     once (the reference's build strand); probes run against it repeatedly.
     """
 
-    def __init__(self, build_keys, num_buckets: int, kind: str = "nested"):
+    def __init__(self, build_keys, num_buckets: int, kind: str = "nested",
+                 hashfun="murmur"):
         lib = native_engine()
         if lib is None:
             raise RuntimeError("native engine unavailable (g++ build failed?)")
@@ -200,7 +219,8 @@ class HostTable:
         sfx = "64" if bk.dtype == np.uint64 else ""
         create = getattr(lib, ("hj3e_nested_create" if kind == "nested"
                                else "hj3e_chaining_create") + sfx)
-        self._h = create(_kp(bk), bk.size, self.num_buckets)
+        self._h = create(_kp(bk), bk.size, self.num_buckets,
+                         _hf_id(hashfun))
 
     def close(self):
         if getattr(self, "_h", None):

@@ -17,8 +17,10 @@
 // bit-equal to the reference implementation.
 //
 // Templated over the key width like the reference's HtChaining1<Tdata,...>
-// / HtNested1<Tdata,...> (u32 and u64 instantiations; bucket assignment
-// uses the width-matched murmur finalizer, util/hasht.hh:49-72).
+// / HtNested1<Tdata,...> (u32 and u64 instantiations); bucket assignment
+// takes any registry hash functor (HashFunId, murmur default) with the
+// width-matched instantiation, closing the reference's Thashfun contract
+// (util/hasht.hh:17-113) on the host backend too.
 //
 // Role in the framework: (a) scalable differential oracle for the TPU
 // engine's randomized tests; (b) CPU fallback backend for small queries
@@ -27,6 +29,7 @@
 // C ABI only (loaded via ctypes); single-threaded by design -- callers
 // parallelize across queries, not within one.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -54,6 +57,46 @@ inline uint64_t murmur(uint64_t x) {
   return x;
 }
 
+// Pluggable hash functors (the reference's Thashfun contract instantiated
+// at runtime: util/hasht.hh:17-113).  Ids match
+// hashjoin3d_tpu.ops.hashing.HASH_FUNCTORS via hostengine.HASHFUN_IDS; the
+// fib variants use the reference's double-based formulation bit-exactly
+// (same IEEE ops/order as the numpy mirrors).
+enum HashFunId : uint32_t {
+  HF_MURMUR = 0, HF_BONCZ = 1, HF_FIB = 2, HF_MULT = 3, HF_IDENTITY = 4
+};
+
+inline uint32_t hashf(uint32_t x, uint32_t id) {
+  switch (id) {
+    case HF_BONCZ: return (x >> 21) ^ (x >> 13) ^ (x >> 7) ^ x;
+    case HF_FIB: {  // util/hasht.hh:31-39
+      const double a = 2654435769.0 / 4294967296.0;
+      double z = a * (double)x;
+      z -= std::floor(z);
+      return (uint32_t)std::floor(4294967296.0 * z);
+    }
+    case HF_MULT: return 2654435761u * x;  // Knuth multiplicative
+    case HF_IDENTITY: return x;
+    default: return murmur(x);
+  }
+}
+
+inline uint64_t hashf(uint64_t x, uint32_t id) {
+  switch (id) {
+    case HF_BONCZ:
+      return (x >> 7) ^ (x >> 13) ^ (x >> 17) ^ (x >> 23) ^ (x >> 43);
+    case HF_FIB: {
+      const double a = 11400714819323198485.0 / 18446744073709551616.0;
+      double z = a * (double)x;
+      z -= std::floor(z);
+      return (uint64_t)std::floor(18446744073709551616.0 * z);
+    }
+    case HF_MULT: return 11400714819323198485ull * x;
+    case HF_IDENTITY: return x;
+    default: return murmur(x);
+  }
+}
+
 // Counting-sort CSR partition of build rows by bucket (stable: arrival
 // order preserved within each bucket).
 template <class K>
@@ -61,12 +104,14 @@ struct BucketCsr {
   std::vector<int64_t> start;  // num_buckets + 1
   std::vector<int32_t> rows;   // n, grouped by bucket, arrival order
   std::vector<K> keys;         // key of rows[i]
+  uint32_t hf;                 // HashFunId of the bucket-assignment functor
 
-  BucketCsr(const K* bk, int64_t n, uint32_t nbuckets) {
+  BucketCsr(const K* bk, int64_t n, uint32_t nbuckets,
+            uint32_t hashfun = HF_MURMUR) : hf(hashfun) {
     std::vector<uint32_t> bucket(n);
     start.assign((size_t)nbuckets + 1, 0);
     for (int64_t i = 0; i < n; ++i) {
-      bucket[i] = (uint32_t)(murmur(bk[i]) % (K)nbuckets);
+      bucket[i] = (uint32_t)(hashf(bk[i], hf) % (K)nbuckets);
       ++start[bucket[i] + 1];
     }
     for (uint32_t b = 0; b < nbuckets; ++b) start[b + 1] += start[b];
@@ -97,8 +142,9 @@ struct NestedCsr {
   std::vector<int64_t> gstart;   // group start into grows, per main (+1 slot)
   std::vector<int32_t> grows;    // group rows, arrival order per key
 
-  NestedCsr(const K* bk, int64_t n, uint32_t nbuckets)
-      : csr(bk, n, nbuckets) {
+  NestedCsr(const K* bk, int64_t n, uint32_t nbuckets,
+            uint32_t hashfun = HF_MURMUR)
+      : csr(bk, n, nbuckets, hashfun) {
     mstart.assign((size_t)nbuckets + 1, 0);
     mkeys.reserve(n);
     grows.reserve(n);
@@ -148,7 +194,7 @@ struct NestedCsr {
   // findMainNodeByOther (ht_nested.hh:354-382): walk the bucket's main
   // chain; returns main index or -1, accumulates comparisons.
   inline int64_t find_main(K k, int64_t& cmps) const {
-    const uint32_t b = (uint32_t)(murmur(k) % (K)nbuckets());
+    const uint32_t b = (uint32_t)(hashf(k, csr.hf) % (K)nbuckets());
     const int64_t ms = mstart[b], me = mstart[b + 1];
     for (int64_t m = ms; m < me; ++m) {
       ++cmps;
@@ -188,7 +234,7 @@ int64_t chaining_probe(const BucketCsr<K>& csr, uint32_t num_buckets,
   bool overflow = false;
   for (int64_t p = 0; p < n_probe; ++p) {
     const K k = pk[p];
-    const uint32_t b = (uint32_t)(murmur(k) % (K)num_buckets);
+    const uint32_t b = (uint32_t)(hashf(k, csr.hf) % (K)num_buckets);
     const int64_t s = csr.start[b], len = csr.start[b + 1] - s;
     for (int64_t j = 0; j < len; ++j) {
       const int64_t a = s + BucketCsr<K>::chain_pos_to_arrival(j, len);
@@ -250,40 +296,43 @@ int64_t nested_probe(const NestedCsr<K>& nt, const K* pk, int64_t n_probe,
 
 extern "C" {
 
-void* hj3e_chaining_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+void* hj3e_chaining_create(const uint32_t* bk, int64_t n, uint32_t nbuckets,
+                           uint32_t hashfun) {
   auto* h = new TableHandle;
   h->kind = 0;
   h->width = 4;
   h->nbuckets = nbuckets;
-  h->chaining = new BucketCsr<uint32_t>(bk, n, nbuckets);
+  h->chaining = new BucketCsr<uint32_t>(bk, n, nbuckets, hashfun);
   return h;
 }
 
-void* hj3e_nested_create(const uint32_t* bk, int64_t n, uint32_t nbuckets) {
+void* hj3e_nested_create(const uint32_t* bk, int64_t n, uint32_t nbuckets,
+                         uint32_t hashfun) {
   auto* h = new TableHandle;
   h->kind = 1;
   h->width = 4;
   h->nbuckets = nbuckets;
-  h->nested = new NestedCsr<uint32_t>(bk, n, nbuckets);
+  h->nested = new NestedCsr<uint32_t>(bk, n, nbuckets, hashfun);
   return h;
 }
 
 void* hj3e_chaining_create64(const uint64_t* bk, int64_t n,
-                             uint32_t nbuckets) {
+                             uint32_t nbuckets, uint32_t hashfun) {
   auto* h = new TableHandle;
   h->kind = 0;
   h->width = 8;
   h->nbuckets = nbuckets;
-  h->chaining64 = new BucketCsr<uint64_t>(bk, n, nbuckets);
+  h->chaining64 = new BucketCsr<uint64_t>(bk, n, nbuckets, hashfun);
   return h;
 }
 
-void* hj3e_nested_create64(const uint64_t* bk, int64_t n, uint32_t nbuckets) {
+void* hj3e_nested_create64(const uint64_t* bk, int64_t n, uint32_t nbuckets,
+                           uint32_t hashfun) {
   auto* h = new TableHandle;
   h->kind = 1;
   h->width = 8;
   h->nbuckets = nbuckets;
-  h->nested64 = new NestedCsr<uint64_t>(bk, n, nbuckets);
+  h->nested64 = new NestedCsr<uint64_t>(bk, n, nbuckets, hashfun);
   return h;
 }
 
@@ -396,7 +445,7 @@ int64_t hj3e_chj_probe(void* hs, void* ht, const uint32_t* pk,
   bool overflow = false;
   for (int64_t p = 0; p < n_probe; ++p) {
     const uint32_t k = pk[p];
-    const uint32_t bs = murmur(k) % nbS;
+    const uint32_t bs = hashf(k, S.hf) % nbS;
     const int64_t ss = S.start[bs], slen = S.start[bs + 1] - ss;
     for (int64_t j = 0; j < slen; ++j) {
       const int64_t a =
@@ -406,7 +455,7 @@ int64_t hj3e_chj_probe(void* hs, void* ht, const uint32_t* pk,
       ++mS;
       const int32_t s_row = S.rows[a];
       // one T probe per materialized RS pair, hashing the pair's R key
-      const uint32_t bt = murmur(k) % nbT;
+      const uint32_t bt = hashf(k, T.hf) % nbT;
       const int64_t ts = T.start[bt], tlen = T.start[bt + 1] - ts;
       for (int64_t q = 0; q < tlen; ++q) {
         const int64_t c =
@@ -443,8 +492,9 @@ int64_t hj3e_chaining_join(const uint32_t* bk, int64_t n_build,
                            const uint32_t* pk, int64_t n_probe,
                            uint32_t num_buckets, int unique,
                            int32_t* out_probe, int32_t* out_build,
-                           int64_t out_cap, int64_t* counters) {
-  BucketCsr<uint32_t> csr(bk, n_build, num_buckets);
+                           int64_t out_cap, int64_t* counters,
+                           uint32_t hashfun) {
+  BucketCsr<uint32_t> csr(bk, n_build, num_buckets, hashfun);
   return chaining_probe(csr, num_buckets, pk, n_probe, unique, out_probe,
                         out_build, out_cap, counters);
 }
@@ -453,8 +503,9 @@ int64_t hj3e_chaining_join64(const uint64_t* bk, int64_t n_build,
                              const uint64_t* pk, int64_t n_probe,
                              uint32_t num_buckets, int unique,
                              int32_t* out_probe, int32_t* out_build,
-                             int64_t out_cap, int64_t* counters) {
-  BucketCsr<uint64_t> csr(bk, n_build, num_buckets);
+                             int64_t out_cap, int64_t* counters,
+                             uint32_t hashfun) {
+  BucketCsr<uint64_t> csr(bk, n_build, num_buckets, hashfun);
   return chaining_probe(csr, num_buckets, pk, n_probe, unique, out_probe,
                         out_build, out_cap, counters);
 }
@@ -470,8 +521,9 @@ int64_t hj3e_nested_join(const uint32_t* bk, int64_t n_build,
                          const uint32_t* pk, int64_t n_probe,
                          uint32_t num_buckets, int do_unnest,
                          int32_t* out_probe, int32_t* out_build,
-                         int64_t out_cap, int64_t* counters) {
-  NestedCsr<uint32_t> nt(bk, n_build, num_buckets);
+                         int64_t out_cap, int64_t* counters,
+                         uint32_t hashfun) {
+  NestedCsr<uint32_t> nt(bk, n_build, num_buckets, hashfun);
   return nested_probe(nt, pk, n_probe, do_unnest, out_probe, out_build,
                       out_cap, counters);
 }
@@ -480,8 +532,9 @@ int64_t hj3e_nested_join64(const uint64_t* bk, int64_t n_build,
                            const uint64_t* pk, int64_t n_probe,
                            uint32_t num_buckets, int do_unnest,
                            int32_t* out_probe, int32_t* out_build,
-                           int64_t out_cap, int64_t* counters) {
-  NestedCsr<uint64_t> nt(bk, n_build, num_buckets);
+                           int64_t out_cap, int64_t* counters,
+                           uint32_t hashfun) {
+  NestedCsr<uint64_t> nt(bk, n_build, num_buckets, hashfun);
   return nested_probe(nt, pk, n_probe, do_unnest, out_probe, out_build,
                       out_cap, counters);
 }

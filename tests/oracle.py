@@ -38,8 +38,14 @@ class ChainingOracle:
     def chain(self, b):
         return self.buckets.get(b, [])
 
-    def probe(self, probe_keys, unique=False):
-        """Returns (pairs, num_matches, num_cmps). pairs = (probe_row, build_row)."""
+    def probe(self, probe_keys, unique=False, predicate=None):
+        """Returns (pairs, num_matches, num_cmps). pairs = (probe_row, build_row).
+
+        ``predicate(probe_row, build_row) -> bool`` replaces the key-equality
+        joinpred INSIDE the walk, exactly as the reference evaluates it
+        (algebra.hh:645-648): a chain node matches iff its hashvalue equals
+        the probe's AND the predicate passes; IsBuildKeyUnique breaks there.
+        """
         pairs = []
         matches = 0
         cmps = 0
@@ -50,7 +56,11 @@ class ChainingOracle:
                 continue
             for row, bk in chain:
                 cmps += 1
-                if bk == k:
+                if predicate is None:
+                    ok = bk == k
+                else:
+                    ok = self.hf(bk) == self.hf(k) and predicate(p, row)
+                if ok:
                     pairs.append((p, row))
                     matches += 1
                     if unique:
@@ -90,8 +100,14 @@ class NestedOracle:
                 mains.append(dict(key=k, first_row=row, subrows=[]))
         self.keys = [int(v) for v in keys]
 
-    def probe(self, probe_keys):
-        """Returns (nested, num_matches, num_cmps); nested = (probe_row, main)."""
+    def probe(self, probe_keys, predicate=None):
+        """Returns (nested, num_matches, num_cmps); nested = (probe_row, main).
+
+        ``predicate(probe_row, group_first_row) -> bool`` replaces the
+        key-equality joinpred in the main-chain walk (ht_nested.hh:366-375):
+        evaluated once per hashvalue-equal main node against the group's
+        FIRST tuple; the first passing node matches and the walk stops.
+        """
         nested = []
         matches = 0
         cmps = 0
@@ -100,7 +116,12 @@ class NestedOracle:
             mains = self.buckets.get(b, [])
             for m in mains:
                 cmps += 1
-                if m["key"] == k:
+                if predicate is None:
+                    ok = m["key"] == k
+                else:
+                    ok = (self.hf(m["key"]) == self.hf(k)
+                          and predicate(p, m["first_row"]))
+                if ok:
                     nested.append((p, m))
                     matches += 1
                     break

@@ -93,10 +93,16 @@ def test_hashfun_callable():
     assert sorted(res.pairs()) == sorted(pairs)
 
 
-def test_hashfun_host_backend_rejected():
-    with pytest.raises(ValueError, match="murmur"):
+def test_hashfun_host_backend_callable_rejected():
+    """Registry functor names run on the host backend too (round 4 closed
+    VERDICT r3 residual #2, tests/test_hostengine.py differentials); only
+    CALLABLES stay device-only -- they cannot cross the C ABI."""
+    with pytest.raises(ValueError, match="registry"):
         hj.join(np.zeros(4, np.uint32), np.zeros(4, np.uint32),
-                hashfun="fib", backend="host")
+                hashfun=lambda x: x, backend="host")
+    res = hj.join(np.arange(4, dtype=np.uint32), np.arange(4, dtype=np.uint32),
+                  hashfun="fib", backend="host")
+    assert res.num_matches == 4
 
 
 def test_hashfun_dense_direct_path(monkeypatch):
@@ -230,3 +236,100 @@ def test_algebra_unnest_residual():
     want = sum(1 for p in range(n_p) for r in range(n_b)
                if pkey[p] == bkey[r] and pval[p] >= bval[r])
     assert top.count() == want
+
+
+# -- in-chain predicate counter parity (predicate_mode="inchain") -------------
+# VERDICT r3 residual #1: the reference evaluates the join predicate INSIDE
+# the chain walk (algebra.hh:645-648, ht_nested.hh:366-375), so
+# c_htProbeCmp depends on the predicate under IsBuildKeyUnique and on the
+# nested main walk.  These tests pin hashjoin3d_tpu's "inchain" mode against
+# the predicate-parameterized oracle walk on non-equality predicates.
+
+
+def _make_payload_band(rng, nb, np_, d):
+    import numpy as np
+    bval = rng.integers(0, 50, nb).astype(np.int64)
+    pval = rng.integers(0, 50, np_).astype(np.int64)
+
+    def predicate(pcols, bcols):
+        return np.abs(pcols["v"].astype(np.int64)
+                      - bcols["v"].astype(np.int64)) <= d
+
+    def oracle_pred(p, row):
+        return abs(int(pval[p]) - int(bval[row])) <= d
+
+    return bval, pval, predicate, oracle_pred
+
+
+@pytest.mark.parametrize("how,unique", [("chaining", False),
+                                        ("chaining", True),
+                                        ("nested", None)])
+def test_inchain_predicate_counter_parity(how, unique):
+    rng = np.random.default_rng(77)
+    nb, np_, buckets = 400, 900, 64
+    bk = rng.integers(0, 120, nb, dtype=np.uint32)   # duplicate-heavy
+    pk = rng.integers(0, 150, np_, dtype=np.uint32)  # some misses
+    bval, pval, predicate, oracle_pred = _make_payload_band(rng, nb, np_, 7)
+
+    kw = dict(num_buckets=buckets, predicate=predicate,
+              predicate_mode="inchain",
+              probe_payload={"v": pval}, build_payload={"v": bval})
+    if how == "chaining":
+        res = hj.join(bk, pk, how="chaining", unique=unique, **kw)
+        orc = ChainingOracle(bk, buckets)
+        pairs, matches, cmps = orc.probe(pk, unique=unique,
+                                         predicate=oracle_pred)
+        assert res.num_matches == matches
+        assert res.num_cmps == cmps
+        assert sorted(res.pairs()) == sorted(pairs)
+    else:
+        res = hj.join(bk, pk, how="nested", **kw)
+        orc = NestedOracle(bk, buckets)
+        nested, matches, cmps = orc.probe(pk, predicate=oracle_pred)
+        assert res.num_matches == matches
+        assert res.num_cmps == cmps
+        want = orc.unnest(nested)
+        assert res.num_results == len(want)
+        assert sorted(res.pairs()) == sorted(want)
+
+
+def test_inchain_equality_predicate_matches_plain_join():
+    """With the predicate = key equality, inchain counters equal the plain
+    equality join's (the reference's own instantiation)."""
+    rng = np.random.default_rng(78)
+    bk = rng.integers(0, 200, 600, dtype=np.uint32)
+    pk = rng.integers(0, 250, 1000, dtype=np.uint32)
+
+    def eq(pcols, bcols):
+        return pcols["key"] == bcols["key"]
+
+    for how, unique in (("chaining", False), ("chaining", True),
+                        ("nested", False)):
+        kwu = {"unique": unique} if how == "chaining" else {}
+        plain = hj.join(bk, pk, how=how, num_buckets=97, backend="device",
+                        **kwu)
+        inch = hj.join(bk, pk, how=how, num_buckets=97, predicate=eq,
+                       predicate_mode="inchain", **kwu)
+        assert inch.num_matches == plain.num_matches
+        assert inch.num_cmps == plain.num_cmps
+        assert inch.num_results == plain.num_results
+        assert sorted(inch.pairs()) == sorted(plain.pairs())
+
+
+def test_inchain_left_semi_anti_modes():
+    rng = np.random.default_rng(79)
+    bk = rng.integers(0, 60, 200, dtype=np.uint32)
+    pk = rng.integers(0, 90, 300, dtype=np.uint32)
+    bval, pval, predicate, oracle_pred = _make_payload_band(rng, 200, 300, 5)
+    orc = ChainingOracle(bk, 32)
+    pairs, _, _ = orc.probe(pk, predicate=oracle_pred)
+    hit = {p for p, _ in pairs}
+    kw = dict(num_buckets=32, predicate=predicate, predicate_mode="inchain",
+              probe_payload={"v": pval}, build_payload={"v": bval})
+    semi = hj.join(bk, pk, how="chaining", mode="semi", **kw)
+    assert sorted(semi.probe_rows.tolist()) == sorted(hit)
+    anti = hj.join(bk, pk, how="chaining", mode="anti", **kw)
+    assert sorted(anti.probe_rows.tolist()) == sorted(
+        set(range(300)) - hit)
+    left = hj.join(bk, pk, how="chaining", mode="left", **kw)
+    assert left.num_results == len(pairs) + (300 - len(hit))

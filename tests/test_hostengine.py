@@ -211,3 +211,51 @@ def test_host_two_join_strands_match_device():
     got2 = sorted(zip(host2["r_row"].tolist(), host2["s_row"].tolist(),
                       host2["t_row"].tolist()))
     assert got2 == want2
+
+
+def test_host_backend_hash_functors_match_device():
+    """VERDICT r3 residual #2: the native host engine accepts every
+    registry hash functor (native/hj3engine.cpp HashFunId), with counters
+    equal to the device path's functor-parameterized tables."""
+    import hashjoin3d_tpu as hj
+
+    rng = np.random.default_rng(31)
+    bk = rng.integers(0, 300, 800, dtype=np.uint32)
+    pk = rng.integers(0, 380, 1200, dtype=np.uint32)
+    for hf in ("murmur", "boncz", "fib", "mult", "identity"):
+        for how in ("chaining", "nested"):
+            dev = hj.join(bk, pk, how=how, num_buckets=128, hashfun=hf,
+                          backend="device")
+            host = hj.join(bk, pk, how=how, num_buckets=128, hashfun=hf,
+                           backend="host")
+            assert host.num_matches == dev.num_matches, (hf, how)
+            assert host.num_cmps == dev.num_cmps, (hf, how)
+            assert sorted(host.pairs()) == sorted(dev.pairs()), (hf, how)
+
+
+def test_host_backend_u64_hash_functors():
+    import hashjoin3d_tpu as hj
+
+    rng = np.random.default_rng(32)
+    bk = (rng.integers(0, 200, 500).astype(np.uint64) << np.uint64(33)
+          | np.uint64(5))
+    pk = (rng.integers(0, 260, 700).astype(np.uint64) << np.uint64(33)
+          | np.uint64(5))
+    for hf in ("boncz", "fib", "mult"):
+        dev = hj.join(bk, pk, how="chaining", num_buckets=64, hashfun=hf,
+                      backend="device")
+        host = hj.join(bk, pk, how="chaining", num_buckets=64, hashfun=hf,
+                       backend="host")
+        assert host.num_matches == dev.num_matches, hf
+        assert host.num_cmps == dev.num_cmps, hf
+        assert sorted(host.pairs()) == sorted(dev.pairs()), hf
+
+
+def test_host_backend_rejects_callable_functor():
+    import pytest
+
+    import hashjoin3d_tpu as hj
+
+    with pytest.raises(ValueError, match="registry"):
+        hj.join(np.arange(4, dtype=np.uint32), np.arange(4, dtype=np.uint32),
+                backend="host", hashfun=lambda x: x)
