@@ -375,13 +375,14 @@ def _keydirect_probe(table, sk, skey_u32, g=None, live=None, W=DEFAULT_W):
 
 
 @partial(jax.jit, static_argnames=("out_size", "do_unnest", "probes_iota",
-                                   "probes_permutation", "presorted"))
+                                   "probes_permutation", "presorted",
+                                   "lookup_w"))
 @_with_route
 def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
                                    probes_iota=False,
                                    probes_permutation=False,
                                    mask=None, presorted=False,
-                                   srow_values=None):
+                                   srow_values=None, lookup_w=None):
     """Windowed Nrs / NrsNU probe strand (key_direct nested tables).
 
     The sorted group-id stream makes every per-group array access windowed;
@@ -407,7 +408,10 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     """
     P = pk.shape[0]
     live_s = None
-    Wk = DEFAULT_W
+    # presorted block-/segment-sorted streams carry their own coverage
+    # requirement: the caller that sorted them passes the matching window
+    # (ops/sort.py:window_for_chunk); plain sorted streams keep the default
+    Wk = lookup_w or DEFAULT_W
     if presorted:
         assert not (probes_iota or probes_permutation)
         if mask is None:
@@ -815,11 +819,12 @@ def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
     )
 
 
-@partial(jax.jit, static_argnames=("out_size", "unique", "presorted"))
+@partial(jax.jit, static_argnames=("out_size", "unique", "presorted",
+                                   "lookup_w"))
 @_with_route
 def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
                                      mask=None, presorted=False,
-                                     srow_values=None):
+                                     srow_values=None, lookup_w=None):
     """Windowed Crs-style probe strand (key_direct chaining table,
     ``algebra.hh:625-659``).
 
@@ -836,7 +841,7 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
     hash-ordered, so it gets its own sort + windowed pass.
     """
     P = pk.shape[0]
-    Wk = DEFAULT_W
+    Wk = lookup_w or DEFAULT_W
     if presorted:
         if mask is None:
             skey, live_s = pk.astype(U32), None

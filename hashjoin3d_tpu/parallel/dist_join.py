@@ -134,10 +134,16 @@ def dist_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             ns, probe_capacity, sort_within_dest=fast)
 
         if fast:
+            from ..ops.sort import window_for_chunk
             from ..ops.strands_windowed import keydirect_nested_strand_sorted
+            # the receive stream is ns sorted blocks of probe_capacity rows,
+            # each spanning the whole key domain: size the lookup window to
+            # the per-block spread (a too-narrow default would silently
+            # degrade big shards to the serialized gather)
             out = keydirect_nested_strand_sorted(
                 table, pkeys, out_capacity, mask=pvalid, presorted=True,
-                srow_values=ppay["row"])
+                srow_values=ppay["row"],
+                lookup_w=window_for_chunk(probe_capacity, key_domain))
             prow_l, brow_l = out["probe_row"], out["build_row"]
             ovalid = prow_l >= 0
             total = out["c_unnest"]
@@ -231,11 +237,13 @@ def dist_chaining_join(mesh: Mesh, num_buckets_per_shard: int,
             ns, probe_capacity, sort_within_dest=fast)
 
         if fast:
+            from ..ops.sort import window_for_chunk
             from ..ops.strands_windowed import (
                 keydirect_chaining_strand_sorted)
             out_k = keydirect_chaining_strand_sorted(
                 table, pkeys, out_capacity, unique=unique, mask=pvalid,
-                presorted=True, srow_values=ppay["row"])
+                presorted=True, srow_values=ppay["row"],
+                lookup_w=window_for_chunk(probe_capacity, key_domain))
             prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
             ovalid = prow_l >= 0
             total = out_k["total"]

@@ -201,10 +201,14 @@ def dist_nested_join_2d(mesh: Mesh, num_buckets_per_shard: int,
             probe_keys, grows(np_local), n_hosts, n_chips,
             probe_capacity, 2 * probe_capacity, sort_within_dest=fast)
         if fast:
+            from ..ops.sort import window_for_chunk
             from ..ops.strands_windowed import keydirect_nested_strand_sorted
+            # receive stream = per-source sorted blocks spanning the whole
+            # domain: size the window to the block spread (see dist_join)
             out_k = keydirect_nested_strand_sorted(
                 table, pkeys, out_capacity, mask=pvalid, presorted=True,
-                srow_values=prows)
+                srow_values=prows,
+                lookup_w=window_for_chunk(2 * probe_capacity, key_domain))
             prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
             ovalid = prow_l >= 0
             total = out_k["c_unnest"]
