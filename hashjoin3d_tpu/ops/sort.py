@@ -49,6 +49,39 @@ def _pow2_ceil(x: int) -> int:
 #: segments.
 MAX_SEGMENT = 1 << 20
 
+#: Engine-wide segmented-sort implementation: "lax" (XLA's sort),
+#: "bitonic" (the fused Pallas stage network, ops/bitonic.py), or "auto"
+#: (bitonic on compiled TPU backends, lax on CPU).  Measured on v5e
+#: (tools/sortbench.py pallas rows): the kernel sorts (64, 2^18) 2-op in
+#: a fraction of XLA's time at the same shape, so "auto" routes to it
+#: wherever the probe policy can use segments <= MAX_SEGMENT_BITONIC.
+#: Binds at trace time (jax.clear_caches() to re-trace after flipping).
+_SORT_IMPL = "auto"
+
+
+def set_sort_impl(impl: str) -> None:
+    """Select the segmented-sort implementation ("auto"|"lax"|"bitonic")."""
+    global _SORT_IMPL
+    assert impl in ("auto", "lax", "bitonic"), impl
+    _SORT_IMPL = impl
+
+
+def _use_bitonic() -> bool:
+    impl = _SORT_IMPL
+    if impl == "auto":
+        impl = "bitonic" if jax.default_backend() != "cpu" else "lax"
+    return impl == "bitonic"
+
+
+def _has_vma(*arrays) -> bool:
+    for x in arrays:
+        try:
+            if jax.typeof(x).vma:
+                return True
+        except Exception:
+            pass
+    return False
+
 
 def probe_sort_chunk(P: int, domain: int | None, min_k: int = 8,
                      max_k: int = 64, align: int = 1024) -> int | None:
@@ -76,20 +109,28 @@ def probe_sort_chunk(P: int, domain: int | None, min_k: int = 8,
     # past W, the patch budget overflows, and the whole stream degrades to
     # the serialized gather (the round-3 headline regression: simulated
     # 256 uncovered chunks at 2^24/2^20 with seg = domain and W = 1024).
-    chunk = max(2 * _pow2_ceil(domain), align)
+    chunk0 = max(2 * _pow2_ceil(domain), align)
     # cap the segment count: downstream safe_lookup patches ~nsegments
     # boundary chunks per expansion stream (its budget scales with the
     # stream length)
-    chunk = max(chunk, _pow2_ceil(-(-P // max_k)))
-    # scoped-VMEM compile cap (see MAX_SEGMENT); the lost margin is won
-    # back by widening the lookup window (window_for_chunk), which stays
-    # viable down to W = 8192 <-> segment >= pow2_domain / 4
-    chunk = min(chunk, MAX_SEGMENT)
-    if 2 * 1024 * _pow2_ceil(domain) > 8192 * chunk:
-        return None  # needed window exceeds the kernel's 8K cap
-    if chunk * min_k > P or P % chunk:
-        return None
-    return chunk
+    chunk0 = max(chunk0, _pow2_ceil(-(-P // max_k)))
+    # Try the Pallas bitonic cap first when that engine is active: its
+    # fused VMEM stage network is ~3-5x XLA per element but tops out at
+    # MAX_SEGMENT_BITONIC; the lost coverage margin is won back by wider
+    # lookup windows (window_for_chunk), viable down to W = 8192 <->
+    # segment >= pow2_domain / 4.  Fall back to the XLA scoped-VMEM cap
+    # (see MAX_SEGMENT) when the window can't cover the shorter segment.
+    from .bitonic import MAX_SEGMENT_BITONIC
+    caps = ([(MAX_SEGMENT_BITONIC, 1)] if _use_bitonic() else []) \
+        + [(MAX_SEGMENT, min_k)]
+    for cap, mk in caps:
+        chunk = min(chunk0, cap)
+        if 2 * 1024 * _pow2_ceil(domain) > 8192 * chunk:
+            continue  # needed window exceeds the kernel's 8K cap
+        if chunk * mk > P or P % chunk:
+            continue
+        return chunk
+    return None
 
 
 def window_for_chunk(chunk: int | None, domain: int, C: int = 1024,
@@ -117,9 +158,23 @@ def sort_segmented(keys_u32: jax.Array, chunk: int):
     The fast replacement for the probe strands' global 2-op sort when the
     key domain is known (see :func:`probe_sort_chunk`); row ids are
     recovered from segment-local ids, so the sort stays 2-op u32/i32.
+    Routes to the fused Pallas stage network (ops/bitonic.py) when the
+    engine switch allows, the segment fits its VMEM cap, and no operand is
+    device-varying under shard_map; the per-segment row ids make the
+    lexicographic kernel bit-equal to this stable 1-key XLA sort.
     """
+    from .bitonic import MAX_SEGMENT_BITONIC, bitonic_sort_segmented
     P = keys_u32.shape[0]
     K = P // chunk
+    if (_use_bitonic() and chunk <= MAX_SEGMENT_BITONIC
+            and not _has_vma(keys_u32)):
+        lid = jnp.broadcast_to(jnp.arange(chunk, dtype=I32)[None, :],
+                               (K, chunk)).reshape(P)
+        sk, sr = bitonic_sort_segmented(keys_u32.astype(U32), chunk,
+                                        payload=lid)
+        sr = (sr.reshape(K, chunk)
+              + (jnp.arange(K, dtype=I32) * jnp.int32(chunk))[:, None])
+        return sk.reshape(P), sr.reshape(P)
     k2 = keys_u32.reshape(K, chunk)
     r2 = jnp.broadcast_to(jnp.arange(chunk, dtype=I32)[None, :], (K, chunk))
     sk, sr = lax.sort((k2, r2), num_keys=1, dimension=1)
@@ -131,7 +186,13 @@ def sort_segmented(keys_u32: jax.Array, chunk: int):
 def sort_segmented_1op(vals_i32: jax.Array, chunk: int) -> jax.Array:
     """1-op within-segment ascending sort (counter streams: bucket ids
     with -1 dead markers sorting to each segment's front)."""
+    from .bitonic import MAX_SEGMENT_BITONIC, bitonic_sort_segmented
     P = vals_i32.shape[0]
+    if (_use_bitonic() and chunk <= MAX_SEGMENT_BITONIC
+            and not _has_vma(vals_i32)):
+        (sv,) = bitonic_sort_segmented(vals_i32.astype(I32), chunk,
+                                       unsigned=False)
+        return sv
     return lax.sort((vals_i32.reshape(P // chunk, chunk),), num_keys=1,
                     dimension=1)[0].reshape(P)
 

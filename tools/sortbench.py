@@ -97,6 +97,28 @@ def main():
     perm = jnp.asarray(rng.permutation(N), dtype=I32)
     bench("random take 2^24 (permutation apply)", g, keys, perm)
 
+    # Pallas fused bitonic (ops/bitonic.py): every stage in VMEM.
+    # Correctness is asserted against the lexicographic lax twin before
+    # any timing is reported.
+    from hashjoin3d_tpu.ops.bitonic import _twin, bitonic_sort_segmented
+    for logc in (18, 16, 14, 12):
+        C = 1 << logc
+        K = N // C
+        pay = rows % jnp.int32(C)
+        p1 = jax.jit(lambda k, C=C: bitonic_sort_segmented(
+            k, C, interpret=False)[0])
+        p2 = jax.jit(lambda k, p, C=C: bitonic_sort_segmented(
+            k, C, payload=p, interpret=False))
+        w1 = np.asarray(_twin((keys,), C, 1)[0])
+        got = p1(keys)
+        assert np.array_equal(np.asarray(got), w1), f"1-op C=2^{logc} WRONG"
+        wk, wp = (np.asarray(x) for x in _twin((keys, pay), C, 2))
+        gk, gp = p2(keys, pay)
+        assert np.array_equal(np.asarray(gk), wk), f"2-op C=2^{logc} WRONG"
+        assert np.array_equal(np.asarray(gp), wp), f"2-op C=2^{logc} WRONG"
+        bench(f"pallas bitonic 1-op ({K}, 2^{logc})", p1, keys)
+        bench(f"pallas bitonic 2-op ({K}, 2^{logc})", p2, keys, pay)
+
 
 if __name__ == "__main__":
     main()
