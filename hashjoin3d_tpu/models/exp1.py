@@ -336,6 +336,12 @@ class Experiment1:
             mem = table.memory_consumption()
             print("  ht memory: " + ", ".join(
                 f"{k} {v:,}" for k, v in mem.items()) + " bytes")
+            if "route_worst" in out:
+                # windowed-route truth (VERDICT r3 weak #4): 0 = pure
+                # windowed, 1 = patched boundary chunks, 2 = at least one
+                # lookup fell back to the serialized gather
+                print(f"  route_worst {int(out['route_worst'])}, "
+                      f"route_nbad {int(out.get('route_nbad', 0))}")
 
         c_top = int(out.get("c_top", out.get("total", 0)))
         row = [

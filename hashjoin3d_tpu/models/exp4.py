@@ -444,6 +444,10 @@ class Experiment4:
             for label in ("mem_s", "mem_t"):
                 print(f"  {label[-1].upper()}: ht memory: " + ", ".join(
                     f"{k} {v:,}" for k, v in state[label].items()) + " bytes")
+            if "route_worst" in out:
+                # windowed-route truth (VERDICT r3 weak #4)
+                print(f"  route_worst {int(out['route_worst'])}, "
+                      f"route_nbad {int(out.get('route_nbad', 0))}")
 
         self._write_params()
         self.csv.write_fields(
