@@ -490,7 +490,7 @@ class Experiment1:
                     chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max,
                                    ee=False),
                     lambda t, p: keydirect_chaining_strand_sorted(
-                        t, p, self.card_s),
+                        t, p, self.card_s, probes_permutation=dd_r),
                     "chaining", "S", "R", has_unnest=False)
         if "Nsr" in self.plans:
             if host_route(self.card_r, self.card_s, self.card_s):

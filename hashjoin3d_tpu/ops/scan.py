@@ -277,17 +277,24 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
     spec = pl.BlockSpec((Cr, 128), lambda j: idx(j),
                         memory_space=pltpu.VMEM)
     N = len(padded)
-    outs = pl.pallas_call(
-        _make_kernel(tuple(ops), reverse),
-        grid=(nchunks,),
-        in_specs=[spec] * N,
-        out_specs=[spec] * N,
-        out_shape=[jax.ShapeDtypeStruct((np_ // 128, 128), jnp.int32)] * N,
-        scratch_shapes=[pltpu.SMEM((N,), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*padded)
+    # trace under x64(False): even dtype-pinned i32 reductions route
+    # through an i64 accumulator under the package's global x64 mode, and
+    # Mosaic rejects the convert_element_type ("64-bit types are not
+    # supported" -- compiled TPU runs only; same contract as
+    # ops/windowed.py / ops/bitonic.py)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            _make_kernel(tuple(ops), reverse),
+            grid=(nchunks,),
+            in_specs=[spec] * N,
+            out_specs=[spec] * N,
+            out_shape=[jax.ShapeDtypeStruct((np_ // 128, 128),
+                                            jnp.int32)] * N,
+            scratch_shapes=[pltpu.SMEM((N,), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*padded)
     return tuple(o.reshape(np_)[:n] for o in outs)
 
 

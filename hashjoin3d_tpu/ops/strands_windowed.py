@@ -217,12 +217,19 @@ def stride_params(stride: float) -> tuple:
 
 
 def _sort_probes(pk: jax.Array, domain: int | None = None):
-    """(sorted keys u32, original rows i32, lookup W) -- the one sort of
-    the strand.  The returned ``W`` (a static python int) is the window
-    width downstream key-keyed lookups need: segments are capped at
+    """(sorted keys u32, original rows i32, lookup W, segment) -- the one
+    sort of the strand.  The returned ``W`` (a static python int) is the
+    window width downstream key-keyed lookups need: segments are capped at
     MAX_SEGMENT (scoped-VMEM compile limit), so large domains keep their
     2x coverage margin through wider windows instead of longer segments
-    (ops/sort.py:window_for_chunk).
+    (ops/sort.py:window_for_chunk).  ``segment`` (None = global sort) lets
+    the caller size NON-key-keyed downstream windows too: a segment-sorted
+    stream's expansion revisits the whole table-row range once PER SEGMENT,
+    so CSR position streams (``group_start[g] + within``) spread
+    ``P/segment`` times wider per window chunk than under a global sort --
+    left at the default width they silently fail coverage and the whole
+    emission degrades to the serialized gather (the round-4 Crs finding:
+    191 ms vs 49 ms for 16.8M emitted rows).
 
     With a known key ``domain`` (the table's ``direct`` / ``key_direct``
     extent) the global 2-op sort drops to a segmented batched sort
@@ -253,13 +260,25 @@ def _sort_probes(pk: jax.Array, domain: int | None = None):
             lambda k: (k, rowv),
             lambda k: lax.sort((k, rowv), num_keys=1),
             pku)
-        return skey, srow, W
+        return skey, srow, W, None
     skey, srow = lax.cond(
         is_sorted_ascending(pku),
         lambda k: (k, rowv),
         lambda k: sort_segmented(k, chunk),
         pku)
-    return skey, srow, W
+    return skey, srow, W, chunk
+
+
+def rows_window(P: int, segment: int | None, n_rows: int,
+                out_size: int) -> tuple:
+    """(W, C) for CSR row-position streams (``group_start[g] + within``)
+    emitted by the expansion of a ``segment``-sorted probe stream.
+
+    Under a global sort the positions advance ~``n_rows / out_size`` per
+    output element; a segmented stream revisits the full ``n_rows`` range
+    once per segment, multiplying the advance rate by ``P / segment``."""
+    nseg = 1 if segment is None else max(P // segment, 1)
+    return stride_params(nseg * n_rows / max(out_size, 1))
 
 
 def _sort_bucket_ids(b: jax.Array, num_buckets: int):
@@ -318,7 +337,7 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
     """
     direct = table.direct
     n = direct.shape[0]
-    skey, srow, Wk = _sort_probes(pk, domain=n)
+    skey, srow, Wk, _ = _sort_probes(pk, domain=n)
     sk = skey.astype(I32)  # keys >= 2^31 go negative = out-of-range = miss
 
     d = safe_lookup(direct, sk, W=Wk)
@@ -408,6 +427,7 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     """
     P = pk.shape[0]
     live_s = None
+    seg = None  # probe-sort segment (set by the _sort_probes branch)
     # presorted block-/segment-sorted streams carry their own coverage
     # requirement: the caller that sorted them passes the matching window
     # (ops/sort.py:window_for_chunk); plain sorted streams keep the default
@@ -438,7 +458,8 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
         skey = jnp.arange(P, dtype=U32)
         srow = inverse_permute(pk.astype(I32), jnp.arange(P, dtype=I32))
     elif mask is None:
-        skey, srow, Wk = _sort_probes(pk, domain=table.key_direct.shape[0])
+        skey, srow, Wk, seg = _sort_probes(pk,
+                                           domain=table.key_direct.shape[0])
     sk = skey.astype(I32)
 
     if probes_iota or probes_permutation:
@@ -474,7 +495,9 @@ def keydirect_nested_strand_sorted(table, pk, out_size, do_unnest=True,
     # large group -- e.g. zipf's 1.16M-row group -- forcing the gather
     # fallback).  Result sets are multiset-exact; per-group order here is
     # insertion order rather than the reference's [first, rest LIFO].
-    build_row = safe_lookup(table.groups.group_rows, gst + within).astype(I32)
+    Wr, Cr = rows_window(P, seg, table.groups.group_rows.shape[0], out_size)
+    build_row = safe_lookup(table.groups.group_rows, gst + within,
+                            W=Wr, C=Cr).astype(I32)
     if probes_iota:
         probe_row = p
     else:
@@ -820,10 +843,11 @@ def nnu_strand_sorted(tbl_s, tbl_t, keys_iota):
 
 
 @partial(jax.jit, static_argnames=("out_size", "unique", "presorted",
-                                   "lookup_w"))
+                                   "probes_permutation", "lookup_w"))
 @_with_route
 def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
                                      mask=None, presorted=False,
+                                     probes_permutation=False,
                                      srow_values=None, lookup_w=None):
     """Windowed Crs-style probe strand (key_direct chaining table,
     ``algebra.hh:625-659``).
@@ -836,12 +860,18 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
     ``mask`` marks live probe rows (padded shuffle outputs inside
     shard_map).  ``presorted=True``: the stream is already (block-)sorted
     with dead rows on the all-ones key -- no probe sort (see
-    keydirect_nested_strand_sorted).  Emission rides the nested strand's
+    keydirect_nested_strand_sorted).  ``probes_permutation=True``: the
+    probe keys are a permutation of [0, P) (exp-1's R.k) -- the sort
+    collapses to one inverse-permutation and the key_direct image is read
+    contiguously.  Emission rides the nested strand's
     expansion machinery; the comparison count's bucket stream is
     hash-ordered, so it gets its own sort + windowed pass.
     """
     P = pk.shape[0]
     Wk = lookup_w or DEFAULT_W
+    seg = None  # probe-sort segment (set by the _sort_probes branch)
+    if probes_permutation:
+        assert not presorted and mask is None and srow_values is None
     if presorted:
         if mask is None:
             skey, live_s = pk.astype(U32), None
@@ -855,13 +885,28 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
         skey, live_s, srow = lax.sort(
             (pk_m, mask.astype(I32), jnp.arange(P, dtype=I32)), num_keys=1)
         live_s = live_s > 0
+    elif probes_permutation:
+        # sorted(permutation of [0, P)) == iota; srow == inverse permutation
+        # (exp-1's R.k, main_experiment1.cc:425-428) -- no probe sort, and
+        # the key_direct image needs no windowed lookup at all
+        from .layout import inverse_permute
+        skey = jnp.arange(P, dtype=U32)
+        srow = inverse_permute(pk.astype(I32), jnp.arange(P, dtype=I32))
+        live_s = None
     else:
-        skey, srow, Wk = _sort_probes(pk, domain=table.key_direct.shape[0])
+        skey, srow, Wk, seg = _sort_probes(pk,
+                                           domain=table.key_direct.shape[0])
         live_s = None
     sk = skey.astype(I32)
 
-    g = safe_lookup((table.key_direct + 1).view(U32), sk,
-                    W=Wk).astype(I32) - 1
+    if probes_permutation:
+        kd = table.key_direct
+        dom = kd.shape[0]
+        g = (kd[:P] if P <= dom
+             else jnp.concatenate([kd, jnp.full(P - dom, -1, I32)]))
+    else:
+        g = safe_lookup((table.key_direct + 1).view(U32), sk,
+                        W=Wk).astype(I32) - 1
     hit = g >= 0
     glen = safe_lookup(table.groups.group_len, g, W=Wk).astype(I32)
 
@@ -902,8 +947,10 @@ def keydirect_chaining_strand_sorted(table, pk, out_size, unique=False,
         build_row = safe_lookup(row_by_p, p, W=Wp, C=Cp).astype(I32)
     else:
         gst = safe_lookup(gstart_by_p, p, W=Wp, C=Cp).astype(I32)
-        build_row = safe_lookup(table.groups.group_rows,
-                                gst + within).astype(I32)
+        Wr, Cr = rows_window(P, seg, table.groups.group_rows.shape[0],
+                             out_size)
+        build_row = safe_lookup(table.groups.group_rows, gst + within,
+                                W=Wr, C=Cr).astype(I32)
     probe_row = safe_lookup(srow, p, W=Wp, C=Cp).astype(I32)
     return dict(
         probe_row=jnp.where(valid, probe_row, -1),

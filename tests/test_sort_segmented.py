@@ -253,3 +253,57 @@ def test_zipf_skewed_segmented():
     assert res.num_matches == matches
     assert res.num_cmps == cmps
     assert res.num_results == len(orc.unnest(nested))
+
+
+def _simulate_rows_stream_uncovered(P, domain, segment, n_rows, W, C=1024,
+                                    seed=3):
+    """Uncovered chunks of the EXPANSION position stream
+    (``group_start[g] + within``, strands_windowed.py emission): a
+    segment-sorted probe stream revisits the whole [0, n_rows) CSR range
+    once per segment, so the position stream restarts at every segment
+    boundary and advances ``P/segment`` times faster than under a global
+    sort.  Uses safe_lookup's exact coverage math."""
+    rng = np.random.default_rng(seed)
+    glen = n_rows // domain
+    nseg = P // segment
+    pos = []
+    for s in range(nseg):
+        keys = np.sort(rng.choice(domain, segment, replace=(P > domain)))
+        # each probe emits its group's glen consecutive CSR positions
+        pos.append((keys[:, None] * glen
+                    + np.arange(glen)[None, :]).reshape(-1))
+    stream = np.concatenate(pos).astype(np.int64)
+    n = (len(stream) // C) * C
+    c2 = stream[:n].reshape(-1, C)
+    T = max(2 * W, -(-n_rows // W) * W)
+    kmax = c2.max(axis=1)
+    base = np.clip((kmax & ~(W - 1)) - W, 0, max(T - 2 * W, 0))
+    delta = c2 - base[:, None]
+    covered = (delta >= 0) & (delta < 2 * W)
+    return int((~covered.all(axis=1)).sum())
+
+
+@pytest.mark.parametrize("logp,logd,logn", [(20, 20, 24),   # exp-1 Crs
+                                            (21, 21, 25),   # exp-1 2x Crs
+                                            (24, 20, 24)])  # Csr-shaped
+def test_rows_window_covers_expansion_streams(logp, logd, logn):
+    """The round-4 Crs finding: the emission lookup
+    (``group_rows[group_start[g] + within]``) was left at the default
+    1024 window while the segmented probe sort multiplied the position
+    stream's per-chunk spread by P/segment -- every chunk failed coverage
+    and the WHOLE 16.8M-row emission serialized to the 144 ms gather
+    (measured 191 ms vs 49 ms strand, artifacts/r4/exp1_t0.log).
+    ``rows_window`` must leave zero uncovered chunks at the canonical
+    shapes; the old default must fail at the Crs shape (proving the test
+    bites)."""
+    from hashjoin3d_tpu.ops.strands_windowed import rows_window
+    P, domain, n_rows = 1 << logp, 1 << logd, 1 << logn
+    chunk = probe_sort_chunk(P, domain)
+    assert chunk is not None
+    Wr, Cr = rows_window(P, chunk, n_rows, out_size=n_rows)
+    assert _simulate_rows_stream_uncovered(P, domain, chunk, n_rows,
+                                           Wr, Cr) == 0
+    if (logp, logd, logn) == (20, 20, 24):
+        # the pre-fix default window: every chunk uncovered
+        assert _simulate_rows_stream_uncovered(P, domain, chunk, n_rows,
+                                               1024, 1024) > 1000
