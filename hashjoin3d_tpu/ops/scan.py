@@ -135,11 +135,19 @@ def _block_total(blocks, op):
     """Whole-block combine as scalars (plain reductions -- cheaper for
     Mosaic than a scalar extract from the scanned vector)."""
     if op == "sum":
-        # dtype pinned: under the package's global x64 mode jnp.sum
-        # promotes an i32 operand to an i64 accumulator, which Mosaic
-        # rejects ("64-bit types are not supported") -- only on compiled
-        # TPU runs; the CPU interpret/twin paths never see it
-        return (jnp.sum(blocks[0], dtype=I32),)
+        # Scalar-output reductions take Mosaic's proxy lowering, which
+        # RE-TRACES `jnp.sum` at lowering time under the ambient config --
+        # the package's global x64 mode then promotes the i32 accumulator
+        # to i64 and Mosaic rejects the convert ("64-bit types are not
+        # supported"; compiled TPU runs only, the CPU interpret/twin paths
+        # never lower).  Emit the proxy's exact eqn sequence ourselves at
+        # kernel-trace time (inside multi_scan's enable_x64(False) scope,
+        # dtype pinned): a keepdims reduce to a non-scalar (1,1,1) takes
+        # the direct vector lowering, and the squeeze-to-scalar is a plain
+        # vector extract.
+        s = jnp.sum(blocks[0][jnp.newaxis, ...], axis=(1, 2),
+                    keepdims=True, dtype=I32)
+        return (jnp.squeeze(s),)
     if op == "max":
         return (jnp.max(blocks[0]),)
     if op == "min":
