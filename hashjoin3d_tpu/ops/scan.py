@@ -307,12 +307,16 @@ def multi_scan(arrays, ops, reverse: bool = False, C: int = DEFAULT_C,
 
 
 #: Engine-wide scan implementation: "lax" (XLA scans) or "pallas" (this
-#: kernel).  Default stays "lax" until tools/scanbench.py shows a win on
-#: the real chip; flip with :func:`set_scan_impl`.  The pallas path
-#: self-disables on CPU backends (where only the interpreter could run)
-#: and on device-varying operands under shard_map (the kernel carries no
-#: vma plumbing) -- callers never need their own guards.
-_IMPL = "lax"
+#: kernel).  Default is "pallas": tools/scanbench.py on the real v5e
+#: (artifacts/r4/scanbench.log, 2^24 elems, bit-equal to the lax twins)
+#: measured cumsum 3.62 -> 0.39 ms, the fused sum+max+min bundle
+#: 16.63 -> 1.02 ms (16x) and expand()'s packed-i64 cummax vs the i32
+#: maxpair pass 27.13 -> 0.91 ms (30x).  Flip back with
+#: :func:`set_scan_impl("lax")`.  The pallas path self-disables on CPU
+#: backends (where only the interpreter could run) and on device-varying
+#: operands under shard_map (the kernel carries no vma plumbing) --
+#: callers never need their own guards.
+_IMPL = "pallas"
 
 
 def set_scan_impl(impl: str) -> None:
