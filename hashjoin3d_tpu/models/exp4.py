@@ -122,7 +122,8 @@ class Experiment4:
     def __init__(self, log2_card_r: int, alpha: int, mult_alpha: int,
                  beta: int, mult_beta: int, measure_file=None, plans=("all",),
                  min_runtime_s: float = 0.3, min_repeat: int = 8,
-                 trace: bool = True, backend: str = "auto"):
+                 trace: bool = True, backend: str = "auto",
+                 assert_route: int | None = 0):
         self.log2_card_r = log2_card_r
         self.alpha, self.beta = alpha, beta
         self.mult_alpha, self.mult_beta = mult_alpha, mult_beta
@@ -135,6 +136,9 @@ class Experiment4:
         self._rk = self._sa = self._ta = None
         assert backend in ("device", "host", "auto")
         self.backend = backend
+        # fail the run when a strand's windowed route degrades past this
+        # allowance (see models/exp1.py:check_route; None disables)
+        self.assert_route = assert_route
 
     @staticmethod
     def _resolve_plans(plans):
@@ -448,6 +452,8 @@ class Experiment4:
                 # windowed-route truth (VERDICT r3 weak #4)
                 print(f"  route_worst {int(out['route_worst'])}, "
                       f"route_nbad {int(out.get('route_nbad', 0))}")
+        from .exp1 import check_route
+        check_route(name, out, self.assert_route)
 
         self._write_params()
         self.csv.write_fields(

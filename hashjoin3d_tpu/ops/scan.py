@@ -352,7 +352,10 @@ def engine_multi_scan(arrays, ops, reverse: bool = False):
         arrays = (arrays,)
     if isinstance(ops, str):
         ops = (ops,)
-    if (_IMPL == "pallas" and jax.default_backend() != "cpu"
+    # gate on the backend being a TPU (axon = this host's tunneled v5e):
+    # pltpu specs fail at LOWERING on any other accelerator, so "not cpu"
+    # would crash rather than fall back (ADVICE r4)
+    if (_IMPL == "pallas" and jax.default_backend() in ("tpu", "axon")
             and not _has_vma(*arrays)):
         return multi_scan(tuple(arrays), tuple(ops), reverse=reverse,
                           interpret=False)

@@ -69,7 +69,10 @@ def set_sort_impl(impl: str) -> None:
 def _use_bitonic() -> bool:
     impl = _SORT_IMPL
     if impl == "auto":
-        impl = "bitonic" if jax.default_backend() != "cpu" else "lax"
+        # only route to the Pallas kernel on a real TPU backend (axon =
+        # this host's tunneled v5e); other accelerators fail at pltpu
+        # lowering rather than falling back (same gate as scan.py)
+        impl = "bitonic" if jax.default_backend() in ("tpu", "axon") else "lax"
     return impl == "bitonic"
 
 

@@ -109,7 +109,8 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
             # vrow is base + iota, so the sorted global ids come from the
             # sort's row payload arithmetically (no gather).
             from ..ops.strands_windowed import _sort_probes
-            vkeys, sr, lookup_w = _sort_probes(vkeys, domain=key_domain)
+            vkeys, sr, lookup_w, sort_seg = _sort_probes(vkeys,
+                                                         domain=key_domain)
             vrow = lax.axis_index(axis).astype(jnp.int32) * np_local + sr
 
         out_p = jnp.full(out_capacity, -1, I32)
@@ -135,7 +136,7 @@ def dist_ring_nested_join(mesh: Mesh, num_buckets_per_shard: int,
                 # lookup so probe_row comes out global directly
                 out_k = keydirect_nested_strand_sorted(
                     table, vkeys, step_cap, presorted=True,
-                    lookup_w=lookup_w,
+                    lookup_w=lookup_w, segment=sort_seg,
                     srow_values=vrow)
                 prow_l, brow_l = out_k["probe_row"], out_k["build_row"]
                 ovalid = prow_l >= 0

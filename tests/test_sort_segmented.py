@@ -296,12 +296,30 @@ def test_rows_window_covers_expansion_streams(logp, logd, logn):
     ``rows_window`` must leave zero uncovered chunks at the canonical
     shapes; the old default must fail at the Crs shape (proving the test
     bites)."""
+    from hashjoin3d_tpu.ops.sort import set_sort_impl
     from hashjoin3d_tpu.ops.strands_windowed import rows_window
     P, domain, n_rows = 1 << logp, 1 << logd, 1 << logn
-    chunk = probe_sort_chunk(P, domain)
-    assert chunk is not None
+    # pin the TPU routing: probe_sort_chunk is engine-dependent (the Crs
+    # shape P == domain only segments under the Pallas bitonic cap; on the
+    # CPU test backend "auto" resolves to lax, which returns None there).
+    # The simulation below is pure numpy, so no Pallas sort ever compiles.
+    set_sort_impl("bitonic")
+    try:
+        chunk = probe_sort_chunk(P, domain)
+    finally:
+        set_sort_impl("auto")
+    if (logp, logd) == (20, 20):
+        assert chunk is not None      # bitonic 2^18 segments, W = 8192
+    elif (logp, logd) == (21, 21):
+        # the needed window (2 * 1024 * 2^21 / 2^18 = 16K) exceeds the
+        # kernel's 8K cap at every legal segment: the policy must route
+        # this shape to the GLOBAL sort, whose streams the default
+        # rows_window covers below
+        assert chunk is None
+    # simulate the shipped route: chunk=None = one global segment
+    sim_seg = chunk if chunk is not None else P
     Wr, Cr = rows_window(P, chunk, n_rows, out_size=n_rows)
-    assert _simulate_rows_stream_uncovered(P, domain, chunk, n_rows,
+    assert _simulate_rows_stream_uncovered(P, domain, sim_seg, n_rows,
                                            Wr, Cr) == 0
     if (logp, logd, logn) == (20, 20, 24):
         # the pre-fix default window: every chunk uncovered
