@@ -75,10 +75,22 @@ UNROLL_MAX = 1 << 16
 MAX_SEGMENT_BITONIC = 1 << 18
 
 
-def _le(a, b):
-    """Lexicographic a <= b over parallel (key[, payload]) tuples."""
+def _le(a, b, take_min, stable=True):
+    """Comparator a <= b over parallel (key[, payload]) tuples.
+
+    Evaluated INDEPENDENTLY at both partner positions, so its TIE decision
+    must be consistent between them or both sides grab the same payload
+    (a duplicated + lost row -- caught by test_kernel_2op_unstable_mode).
+    ``stable=True`` gets consistency from the lexicographic payload
+    tiebreak (payloads distinct per segment) and matches the stable lax
+    twin bit-for-bit.  ``stable=False`` resolves key ties as ``take_min``
+    instead: a_le_b == take_min makes take_self true at BOTH positions,
+    for either direction (each side keeps its element on a tie) -- 2
+    fewer vector ops per stage, equal-key payload order network-defined."""
     if len(a) == 1:
         return a[0] <= b[0]
+    if not stable:
+        return (a[0] < b[0]) | ((a[0] == b[0]) & take_min)
     return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] <= b[1]))
 
 
@@ -103,18 +115,20 @@ def _partner(x, j: int, Cr: int, lane, rowi):
         for b in x), bit
 
 
-def _exchange(x, part, bit, up):
+def _exchange(x, part, bit, up, stable=True):
     """One compare-exchange: element i holds ``x``, its partner (index
     i ^ j, ``bit`` = that bit of i) holds ``part``; ``up`` = ascending
     pair (array or scalar bool)."""
     take_min = bit == ~up                    # lower index of an asc pair
-    a_le_b = _le(x, part)
+    a_le_b = _le(x, part, take_min, stable)
     take_self = take_min == a_le_b
     return tuple(jnp.where(take_self, s, p) for s, p in zip(x, part))
 
 
 def _make_kernel(nops: int, C: int, unsigned: bool, alt: bool,
-                 level_only: int | None):
+                 level_only: int | None, stable: bool = True,
+                 level_range: tuple | None = None,
+                 parity_top: bool = False):
     """Unrolled stage-network kernel over one (Cr, 128) block per grid
     step.
 
@@ -124,6 +138,13 @@ def _make_kernel(nops: int, C: int, unsigned: bool, alt: bool,
     (stages j = 2^(l-1)..1 with direction ``(i & 2^l) == 0``) -- the
     hybrid's per-level finish over full-segment blocks, whose static
     local-iota masks encode every sub-block direction.
+    ``level_range=(lo, hi)``: run merge levels lo..hi fused in one pass
+    over C = 2^hi blocks.  For l < hi the direction masks are local
+    (bit l of the in-segment position equals bit l of the in-block
+    position); the TOP level's direction (bit hi == block parity within
+    the segment) rides ``parity_top`` -- set it when the block is
+    SMALLER than the segment (the packed-hybrid middle pass), leave it
+    False when C == segment (final all-ascending level).
     """
     Cr = C // 128
     logC = C.bit_length() - 1
@@ -144,7 +165,16 @@ def _make_kernel(nops: int, C: int, unsigned: bool, alt: bool,
         x = (key,) + tuple(pltpu.bitcast(r[:], jnp.int32)
                            for r in in_refs[1:])
 
-        if level_only is not None:
+        par = None
+        if level_range is not None:
+            lo, hi = level_range
+            assert hi <= logC, (level_range, C)
+            schedule = [(1 << l, 1 << t) for l in range(lo, hi + 1)
+                        for t in range(l - 1, -1, -1)]
+            flip = None
+            if parity_top:
+                par = (pl.program_id(0) & jnp.int32(1)) != 0
+        elif level_only is not None:
             schedule = [(1 << level_only, 1 << t)
                         for t in range(level_only - 1, -1, -1)]
             flip = None
@@ -162,11 +192,13 @@ def _make_kernel(nops: int, C: int, unsigned: bool, alt: bool,
                 up = (lane & jnp.int32(k)) == 0
             elif k // 128 < Cr:
                 up = (rowi & jnp.int32(k // 128)) == 0
+            elif par is not None:             # k == C < segment: parity
+                up = ~par
             else:                             # k == C: all-ascending
                 up = jnp.bool_(True)
             if flip is not None:
                 up = up != flip               # flip odd blocks
-            x = _exchange(x, part, bit, up)
+            x = _exchange(x, part, bit, up, stable)
 
         key = x[0] ^ jnp.int32(_SIGN) if unsigned else x[0]
         out_refs[0][:] = pltpu.bitcast(key, out_refs[0].dtype)
@@ -177,7 +209,9 @@ def _make_kernel(nops: int, C: int, unsigned: bool, alt: bool,
 
 
 def _pallas_pass(ops, C: int, unsigned: bool, alt: bool,
-                 level_only: int | None, interpret: bool):
+                 level_only: int | None, interpret: bool,
+                 stable: bool = True, level_range: tuple | None = None,
+                 parity_top: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -185,7 +219,8 @@ def _pallas_pass(ops, C: int, unsigned: bool, alt: bool,
     spec = pl.BlockSpec((C // 128, 128), lambda s: (s, jnp.int32(0)),
                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_kernel(len(ops), C, unsigned, alt, level_only),
+        _make_kernel(len(ops), C, unsigned, alt, level_only, stable,
+                     level_range, parity_top),
         grid=(P // C,),
         in_specs=[spec] * len(ops),
         out_specs=[spec] * len(ops),
@@ -207,11 +242,13 @@ def _twin(ops, chunk: int, num_keys: int):
     return tuple(o.reshape(P) for o in outs)
 
 
-@partial(jax.jit, static_argnames=("chunk", "unsigned", "interpret"))
+@partial(jax.jit, static_argnames=("chunk", "unsigned", "interpret",
+                                   "stable"))
 def bitonic_sort_segmented(keys: jax.Array, chunk: int,
                            payload: jax.Array | None = None,
                            unsigned: bool = True,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           stable: bool = True):
     """Sort ``chunk``-sized segments ascending, entirely on-chip.
 
     ``keys``: u32 (``unsigned=True``, the default) or i32 column, length a
@@ -219,6 +256,15 @@ def bitonic_sort_segmented(keys: jax.Array, chunk: int,
     ``payload``: optional i32 column carried through and used as the
     lexicographic tiebreak -- with per-segment-unique payloads the result
     is bit-equal to ``lax.sort(..., num_keys=1, is_stable=True)``.
+
+    ``stable=False`` drops the payload tiebreak from every comparator
+    (the keys still sort exactly; the payload permutation stays aligned
+    with its key, but equal-key payload ORDER becomes network-defined):
+    ~4 of the ~14 vector ops per stage go away, measured 20.5 -> ~15 ms
+    for the 2-op hybrid at 2^24/2^18 on v5e.  Safe wherever the consumer
+    treats equal-key payloads as a multiset -- the probe strands do
+    (duplicate probes of one key have identical match sets, so swapping
+    their row ids permutes the result multiset onto itself).
 
     Returns ``(sorted_keys,)`` or ``(sorted_keys, sorted_payload)``.
     """
@@ -234,14 +280,96 @@ def bitonic_sort_segmented(keys: jax.Array, chunk: int,
         if interpret:
             # the interpreter emulates the stage network far too slowly
             # for suite-sized inputs; kernel tests pass interpret=True
-            # explicitly via _bitonic_pallas
+            # explicitly via _bitonic_pallas.  The stable twin is a valid
+            # stable=False implementation too (payload order unspecified).
             return _twin(ops, chunk, num_keys)
-    return _bitonic_pallas(ops, chunk, unsigned, interpret)
+    return _bitonic_pallas(ops, chunk, unsigned, interpret, stable)
 
 
-def _bitonic_pallas(ops, chunk: int, unsigned: bool, interpret: bool):
+@partial(jax.jit, static_argnames=("chunk", "key_bits", "interpret"))
+def bitonic_sort_packed_segmented(keys: jax.Array, chunk: int,
+                                  key_bits: int,
+                                  interpret: bool | None = None):
+    """(sorted keys u32, segment-local row ids i32) for SMALL key domains:
+    the 2-op probe sort with its first ``sub_bits`` levels collapsed to a
+    1-op network on packed words.
+
+    The 2-op network's payload carry costs ~2.5x the 1-op per stage, but
+    the payload is just the segment-local iota: within a 2^sub_bits
+    sub-block the local id fits the low bits, so levels 1..sub_bits sort
+    ONE packed word ``(key << sub_bits) | local_id`` (u32 order =
+    (key, local) lexicographic), and the full row id is recovered
+    EXACTLY afterwards from the element's position (its sub-block never
+    changes during phase 1).  Only the remaining merge levels carry the
+    row as a second op.  sub_bits = min(32 - key_bits, 16, log2 chunk):
+    20-bit keys (the exp-1 dense domain) get 12 one-op levels -- 78 of
+    171 stages at 2^18 segments, measured ~20.5 -> ~15 ms for 2^24 on
+    v5e.
+
+    REQUIRES every key < 2^key_bits: the caller must route streams with
+    larger keys (misses past the domain) to the generic path -- see
+    ``ops/sort.py:sort_segmented``'s runtime switch.  Equal-key row order
+    is network-defined (the phase-2 merge is the unstable comparator);
+    per-key row multisets are exact.
+    """
+    P = keys.shape[0]
+    assert chunk & (chunk - 1) == 0 and 256 <= chunk <= MAX_SEGMENT_BITONIC
+    assert P % chunk == 0
+    assert 1 <= key_bits <= 31
+    sub_bits = min(32 - key_bits, 16, chunk.bit_length() - 1)
+    sub = 1 << sub_bits
+    assert sub >= 256, f"sub-block {sub} below the kernel's 256 floor"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+        if interpret:
+            lid = jnp.arange(P, dtype=I32) % jnp.int32(chunk)
+            return _twin((keys.astype(jnp.uint32), lid), chunk, 2)
+
+    pos = jnp.arange(P, dtype=jnp.uint32)
+    lid = pos & jnp.uint32(sub - 1)
+    w = (keys.astype(jnp.uint32) << jnp.uint32(sub_bits)) | lid
+    logc = chunk.bit_length() - 1
+    # phase 1: 1-op ranged network, levels 1..sub_bits, over UNROLL_MAX
+    # grid blocks.  NOT per-sub-block grid steps: (32, 128) blocks cost
+    # ~5.5 us of fixed per-step overhead each (22.4 ms for 2^24 at
+    # C=2^12, artifacts/r5/packedprof.log) where the same stages inside
+    # 2^16 blocks with local direction masks stream at full rate.  The
+    # level-sub_bits direction (bit sub_bits of the segment position) is
+    # a local mask too, so sub-blocks come out alternating asc/desc
+    # exactly as the merge levels expect.
+    Cb = min(chunk, UNROLL_MAX)
+    (ws,) = _pallas_pass(
+        (w,), Cb, True, False, None, interpret,
+        level_range=(1, sub_bits),
+        parity_top=(sub_bits == Cb.bit_length() - 1) and Cb < chunk)
+    skey = ws >> jnp.uint32(sub_bits)
+    # the element never left its sub-block in phase 1: full local row id =
+    # (sub-block base within the segment) | packed low bits
+    base = (pos & jnp.uint32((chunk - 1) & ~(sub - 1)))
+    srow = (base | (ws & jnp.uint32(sub - 1))).astype(I32)
+    if sub == chunk:
+        return skey, srow
+
+    x = (skey, srow)
+    # phase 2a: merge levels sub_bits+1 .. min(16, logc), fused over
+    # UNROLL_MAX blocks (levels below the block size use local masks; the
+    # top level's direction is the block's parity within the segment)
+    mid_hi = min(UNROLL_MAX.bit_length() - 1, logc)
+    if sub_bits < mid_hi:   # sub == UNROLL_MAX skips straight to 2b
+        x = _pallas_pass(x, 1 << mid_hi, True, False, None, interpret,
+                         stable=False, level_range=(sub_bits + 1, mid_hi),
+                         parity_top=mid_hi < logc)
+    # phase 2b: one whole-level pass per remaining level (as the hybrid)
+    for l in range(mid_hi + 1, logc + 1):
+        x = _pallas_pass(x, chunk, True, False, l, interpret, stable=False)
+    return x
+
+
+def _bitonic_pallas(ops, chunk: int, unsigned: bool, interpret: bool,
+                    stable: bool = True):
     if chunk <= UNROLL_MAX:
-        return _pallas_pass(ops, chunk, unsigned, False, None, interpret)
+        return _pallas_pass(ops, chunk, unsigned, False, None, interpret,
+                            stable)
 
     # hybrid: alternating presort at UNROLL_MAX blocks, then one
     # whole-level finish kernel per remaining level over FULL-chunk
@@ -249,7 +377,7 @@ def _bitonic_pallas(ops, chunk: int, unsigned: bool, interpret: bool):
     # compile where the full 171-stage network at 2^18 took ~9.5 min,
     # and every stage stays fused in VMEM)
     sub = UNROLL_MAX
-    x = _pallas_pass(ops, sub, unsigned, True, None, interpret)
+    x = _pallas_pass(ops, sub, unsigned, True, None, interpret, stable)
     for l in range(sub.bit_length(), chunk.bit_length()):
-        x = _pallas_pass(x, chunk, unsigned, False, l, interpret)
+        x = _pallas_pass(x, chunk, unsigned, False, l, interpret, stable)
     return x

@@ -153,8 +153,8 @@ def window_for_chunk(chunk: int | None, domain: int, C: int = 1024,
     return W
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def sort_segmented(keys_u32: jax.Array, chunk: int):
+@partial(jax.jit, static_argnames=("chunk", "stable"))
+def sort_segmented(keys_u32: jax.Array, chunk: int, stable: bool = True):
     """Sort u32 keys independently within contiguous ``chunk``-sized
     segments; returns (seg-sorted keys, original row ids).
 
@@ -165,6 +165,14 @@ def sort_segmented(keys_u32: jax.Array, chunk: int):
     engine switch allows, the segment fits its VMEM cap, and no operand is
     device-varying under shard_map; the per-segment row ids make the
     lexicographic kernel bit-equal to this stable 1-key XLA sort.
+
+    ``stable=False`` lets the kernel drop the row-id tiebreak from its
+    comparators (~25% fewer vector ops; bitonic.py): keys still sort
+    exactly and each row id stays aligned with its key, but equal-key row
+    ORDER becomes network-defined.  The probe strands opt in -- duplicate
+    probes of one key are interchangeable (identical match sets), so
+    counters and result multisets are unchanged.  (The lax path is stable
+    either way; ``stable`` only relaxes what the caller may assume.)
     """
     from .bitonic import MAX_SEGMENT_BITONIC, bitonic_sort_segmented
     P = keys_u32.shape[0]
@@ -174,7 +182,7 @@ def sort_segmented(keys_u32: jax.Array, chunk: int):
         lid = jnp.broadcast_to(jnp.arange(chunk, dtype=I32)[None, :],
                                (K, chunk)).reshape(P)
         sk, sr = bitonic_sort_segmented(keys_u32.astype(U32), chunk,
-                                        payload=lid)
+                                        payload=lid, stable=stable)
         sr = (sr.reshape(K, chunk)
               + (jnp.arange(K, dtype=I32) * jnp.int32(chunk))[:, None])
         return sk.reshape(P), sr.reshape(P)

@@ -189,15 +189,17 @@ def safe_lookup(values: jax.Array, keys: jax.Array,
         safe = jnp.clip(kp, 0, T - 1)
         return jnp.where(in_r, values[safe], jnp.uint32(0))
 
-    def degraded(_):
-        return lax.cond(nbad <= cap, patched, gather, None)
-
-    _record_route(
-        jnp.where(nbad == 0, jnp.int32(ROUTE_WINDOWED),
-                  jnp.where(nbad <= cap, jnp.int32(ROUTE_PATCHED),
-                            jnp.int32(ROUTE_GATHER))),
-        nbad)
-    out = lax.cond(nbad == 0, windowed, degraded, None)
+    route = jnp.where(nbad == 0, jnp.int32(ROUTE_WINDOWED),
+                      jnp.where(nbad <= cap, jnp.int32(ROUTE_PATCHED),
+                                jnp.int32(ROUTE_GATHER)))
+    _record_route(route, nbad)
+    # one flat 3-way switch, NOT cond(windowed, cond(patched, gather)):
+    # with the nested structure XLA speculatively executes the untaken
+    # patched branch's (cap, C) gather once cap >= 256 -- +8.3 ms per
+    # lookup on the headline stream, reproduced and pinned in
+    # artifacts/r5/safeprof{2,3,4}.log (the flat switch costs the branch
+    # nothing: 15.0 -> 6.7 ms at 2^24, W=8192)
+    out = lax.switch(route, [windowed, patched, gather], None)
     return out[:n] if pad else out
 
 
@@ -266,7 +268,8 @@ def _sort_probes(pk: jax.Array, domain: int | None = None) -> SortedProbes:
     coverage invariant of both the global and the segmented layout.
     """
     from .layout import is_sorted_ascending
-    from .sort import probe_sort_chunk, sort_segmented, window_for_chunk
+    from .sort import (_has_vma, _use_bitonic, probe_sort_chunk,
+                       sort_segmented, window_for_chunk)
     P = pk.shape[0]
     pku = pk.astype(U32)
     # vma-typed identity permutation (see layout.sort_rows_maybe_skip)
@@ -280,10 +283,45 @@ def _sort_probes(pk: jax.Array, domain: int | None = None) -> SortedProbes:
             lambda k: lax.sort((k, rowv), num_keys=1),
             pku)
         return SortedProbes(skey, srow, W, None)
+
+    # Packed 1-op phase-1 fast path (ops/bitonic.py:
+    # bitonic_sort_packed_segmented): small dense domains let the sort's
+    # first levels run as a ONE-op network on (key << sub | local_id)
+    # words.  It requires every key (incl. misses past the domain) under
+    # 2^key_bits -- a runtime property, so the route is a flat 3-way
+    # switch on (already-sorted, all-keys-small, anything-else).
+    key_bits = max(int(domain - 1).bit_length(), 1)
+    packed_ok = (_use_bitonic() and not _has_vma(pku)
+                 and 32 - key_bits >= 9 and chunk >= 512)
+    if packed_ok:
+        from .bitonic import MAX_SEGMENT_BITONIC, \
+            bitonic_sort_packed_segmented
+        packed_ok = chunk <= MAX_SEGMENT_BITONIC
+    if packed_ok:
+        def packed(k):
+            sk, lid = bitonic_sort_packed_segmented(k, chunk, key_bits)
+            sr = (lid.reshape(P // chunk, chunk)
+                  + (jnp.arange(P // chunk, dtype=I32)
+                     * jnp.int32(chunk))[:, None]).reshape(P)
+            return sk, sr
+
+        route = jnp.where(
+            is_sorted_ascending(pku), jnp.int32(0),
+            jnp.where(jnp.max(pku) < jnp.uint32(1 << key_bits),
+                      jnp.int32(1), jnp.int32(2)))
+        skey, srow = lax.switch(
+            route, [lambda k: (k, rowv), packed,
+                    lambda k: sort_segmented(k, chunk, stable=False)],
+            pku)
+        return SortedProbes(skey, srow, W, chunk)
+
     skey, srow = lax.cond(
         is_sorted_ascending(pku),
         lambda k: (k, rowv),
-        lambda k: sort_segmented(k, chunk),
+        # stable=False: duplicate probes of one key are interchangeable
+        # (identical match sets), so the kernel may drop its row-id
+        # tiebreak -- ~25% fewer comparator ops (ops/bitonic.py)
+        lambda k: sort_segmented(k, chunk, stable=False),
         pku)
     return SortedProbes(skey, srow, W, chunk)
 

@@ -45,9 +45,16 @@ def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0,
 
     Returns a dict with the top key frequency fraction, the max/mean shard
     load ratio under hash partitioning, a recommended strategy
-    ("partition", "hybrid" or "broadcast"), and ``hot_keys``: the (up to
+    ("partition", "hybrid" or "broadcast"), ``hot_keys``: the (up to
     ``max_hot``) key values whose individual frequency exceeds 1/num_shards
-    of the sample -- the keys worth replicating in the hybrid join.
+    of the sample -- the keys worth replicating in the hybrid join -- and
+    ``top_keys``: the ``max_hot`` most frequent keys regardless of
+    threshold.  Under a zipf(1.0) column (exp-1 --skew) no single key
+    exceeds the mean shard share for small meshes (top key ~7% of 2^24
+    rows over a 2^20 domain), yet the head of the distribution still
+    concentrates enough volume on whichever shards own it to overflow a
+    uniformly-sized exchange; replicating ``top_keys`` removes that head
+    from the exchange entirely (see dist_hybrid_nested_join).
     """
     keys = np.asarray(keys)
     n = keys.size
@@ -63,6 +70,7 @@ def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0,
     n_hot = int(np.count_nonzero(hot_mask))  # pre-truncation count
     order = np.argsort(counts[hot_mask])[::-1][:max_hot]
     hot_keys = uniq[hot_mask][order]
+    top_keys = uniq[np.argsort(counts)[::-1][:max_hot]]
 
     # width-matched host mirror of shard_of_key (u64 keys must not truncate)
     from ..ops.hashing import murmur32_np, murmur64_np
@@ -86,6 +94,7 @@ def detect_skew(keys, num_shards: int, sample: int = 1 << 20, seed: int = 0,
         shard_imbalance=float(imbalance),
         strategy=strategy,
         hot_keys=hot_keys,
+        top_keys=top_keys,
     )
 
 

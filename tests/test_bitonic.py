@@ -74,6 +74,101 @@ def test_kernel_2op_duplicate_keys_payload_tiebreak():
     assert np.array_equal(np.asarray(got[1]).reshape(-1, chunk), want_p)
 
 
+def test_kernel_2op_unstable_mode():
+    """stable=False (the probe strands' mode, r5): keys must still sort
+    EXACTLY; each payload must stay aligned with its key (the per-key
+    payload multiset is preserved) and the whole payload column must
+    remain a permutation -- only the equal-key payload ORDER may differ
+    from the stable twin."""
+    rng = np.random.default_rng(7)
+    chunk, P = 512, 4096
+    keys = rng.integers(0, 11, P).astype(U32)   # heavy ties
+    pay = np.tile(np.arange(chunk, dtype=I32), P // chunk)
+    got_k, got_p = (np.asarray(x) for x in _bitonic_pallas(
+        (jnp.asarray(keys), jnp.asarray(pay)), chunk, True, True,
+        stable=False))
+    k2 = keys.reshape(-1, chunk)
+    assert np.array_equal(got_k.reshape(-1, chunk), np.sort(k2, axis=1))
+    for s in range(P // chunk):
+        gk, gp = got_k.reshape(-1, chunk)[s], got_p.reshape(-1, chunk)[s]
+        assert sorted(gp) == list(range(chunk))       # a permutation
+        # payloads follow their keys: keys[gp] == gk elementwise
+        assert np.array_equal(k2[s][gp], gk)
+
+    # the hybrid (multi-pass) path too
+    from hashjoin3d_tpu.ops import bitonic as B
+    chunk2, P2 = 1024, 4096
+    keys2 = rng.integers(0, 5, P2).astype(U32)
+    pay2 = np.tile(np.arange(chunk2, dtype=I32), P2 // chunk2)
+    import unittest.mock as mock
+    with mock.patch.object(B, "UNROLL_MAX", 256):
+        gk2, gp2 = (np.asarray(x) for x in _bitonic_pallas(
+            (jnp.asarray(keys2), jnp.asarray(pay2)), chunk2, True, True,
+            stable=False))
+    k22 = keys2.reshape(-1, chunk2)
+    assert np.array_equal(gk2.reshape(-1, chunk2), np.sort(k22, axis=1))
+    for s in range(P2 // chunk2):
+        gp = gp2.reshape(-1, chunk2)[s]
+        assert sorted(gp) == list(range(chunk2))
+        assert np.array_equal(k22[s][gp], gk2.reshape(-1, chunk2)[s])
+
+
+def _check_packed(keys, chunk, key_bits, patch_unroll=None):
+    """Packed sort invariants: keys sort EXACTLY per segment, srow is a
+    per-segment-local permutation, and each row id carries its own key."""
+    from hashjoin3d_tpu.ops import bitonic as B
+    import unittest.mock as mock
+
+    ctx = (mock.patch.object(B, "UNROLL_MAX", patch_unroll)
+           if patch_unroll else mock.MagicMock())
+    with ctx:
+        sk, sr = B.bitonic_sort_packed_segmented(
+            jnp.asarray(keys), chunk, key_bits, interpret=True)
+    sk, sr = np.asarray(sk), np.asarray(sr)
+    k2 = keys.reshape(-1, chunk)
+    assert np.array_equal(sk.reshape(-1, chunk), np.sort(k2, axis=1))
+    for s in range(keys.size // chunk):
+        rows = sr.reshape(-1, chunk)[s]
+        assert sorted(rows) == list(range(chunk))      # local permutation
+        assert np.array_equal(k2[s][rows], sk.reshape(-1, chunk)[s])
+
+
+def test_kernel_packed_pure_phase1():
+    """sub == chunk: the whole sort is one 1-op packed pass."""
+    rng = np.random.default_rng(21)
+    chunk, P = 1024, 4096
+    keys = rng.integers(0, 61, P).astype(U32)          # key_bits = 6
+    _check_packed(keys, chunk, key_bits=6)
+
+
+def test_kernel_packed_with_merge_levels():
+    """sub < chunk: phase 2a (fused ranged levels) runs, final level
+    all-ascending."""
+    rng = np.random.default_rng(22)
+    chunk, P = 1024, 4096
+    keys = rng.integers(0, 1 << 24, P, dtype=np.int64).astype(U32)
+    _check_packed(keys, chunk, key_bits=24)            # sub = 2^8
+
+
+def test_kernel_packed_hybrid_with_parity_top():
+    """chunk > UNROLL_MAX: phase 2a's top level rides the block parity
+    and phase 2b finishes per level (the real 2^18 shape, shrunk)."""
+    rng = np.random.default_rng(23)
+    chunk, P = 2048, 8192
+    keys = rng.integers(0, 1 << 24, P, dtype=np.int64).astype(U32)
+    _check_packed(keys, chunk, key_bits=24, patch_unroll=512)
+
+
+def test_kernel_packed_out_of_domain_tail():
+    """Keys above the declared domain but under 2^key_bits (misses within
+    the packable range) must sort to each segment's tail exactly."""
+    rng = np.random.default_rng(24)
+    chunk, P = 1024, 2048
+    keys = rng.integers(0, 200, P).astype(U32)
+    keys[rng.choice(P, 100, replace=False)] = (1 << 24) - 1  # miss marker
+    _check_packed(keys, chunk, key_bits=24)
+
+
 def test_kernel_sign_flip_order():
     """Keys straddling 2^31 must sort in u32 order, not i32."""
     rng = np.random.default_rng(2)

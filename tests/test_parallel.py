@@ -298,6 +298,63 @@ def test_hybrid_join_survives_skew_that_overflows_flat(mesh):
     assert int(out_ok["num_matches"]) == int(out["num_matches"])
 
 
+def test_hybrid_survives_exp1_zipf_where_flat_overflows(mesh):
+    """VERDICT r4 item 8: the REAL exp-1 zipf(1.0) key distribution (not a
+    synthetic half-volume key) must overflow a uniformly-capacity-sized
+    flat partition exchange, and the hybrid join replicating detect_skew's
+    ``top_keys`` must survive with the SAME cold capacity -- counters and
+    pairs exact.  Per-shard receive volumes are measured host-side (the
+    exact shard_of_key mirror) so the capacity claims aren't circular.
+    (Full 2^24-scale receive-volume evidence: tools/zipf_capacity.py,
+    PERF.md "Zipf capacity".)"""
+    from hashjoin3d_tpu.ops.hashing import hash_key_np
+    from hashjoin3d_tpu.parallel import detect_skew, dist_hybrid_nested_join
+    from hashjoin3d_tpu.utils import exp1_data
+
+    ns = 8
+    rk, sa, _ = exp1_data(14, 18, True, 0)    # zipf(1.0) S.a over 2^14 keys
+    n_p, n_b = sa.size, rk.size
+
+    rep = detect_skew(sa, ns)
+    top = rep["top_keys"]
+    assert len(top) == 16
+
+    # host mirror of the exchange routing: per-(src, dst) receive counts
+    def max_src_dst(keys, mask=None):
+        d = (hash_key_np(hash_key_np(keys)) % np.uint32(ns)).astype(np.int64)
+        src = np.arange(keys.size) // (keys.size // ns)
+        w = None if mask is None else mask.astype(np.int64)
+        return int(np.bincount(src * ns + d, weights=w,
+                               minlength=ns * ns).max())
+
+    uniform_cap = int(n_p / ns / ns * 1.25)   # mean per (src,dst) + 25%
+    assert max_src_dst(sa) > uniform_cap      # zipf head breaks uniform
+    cold = ~np.isin(sa, top)
+    assert max_src_dst(sa, cold) <= uniform_cap  # replication restores it
+
+    sh = shard_axis(mesh)
+    bk_d, pk_d = jax.device_put(rk, sh), jax.device_put(sa, sh)
+    flat = dist_nested_join(mesh, num_buckets_per_shard=1 << 11,
+                            build_capacity=n_b, probe_capacity=uniform_cap,
+                            out_capacity=2 * (n_p // ns))
+    out_flat = flat(bk_d, pk_d)
+    assert int(out_flat["overflow"]) > 0      # the device agrees
+
+    hyb = dist_hybrid_nested_join(
+        mesh, top, num_buckets_per_shard=1 << 11,
+        build_capacity=n_b, probe_capacity=uniform_cap,
+        hot_build_capacity=32, out_capacity=2 * (n_p // ns))
+    out = hyb(bk_d, pk_d)
+    assert int(out["overflow"]) == 0
+    # R.k is a permutation of the zipf domain: every probe matches exactly 1
+    assert int(out["num_matches"]) == n_p
+    assert int(out["num_unnested"]) == n_p
+    inv = np.empty(n_b, np.int64)             # key -> build row (permutation)
+    inv[rk] = np.arange(n_b)
+    want = sorted((p, int(inv[k])) for p, k in enumerate(sa))
+    assert _pairs(out) == want
+
+
 def test_ring_join_step_truncation_reported(mesh):
     """A ring step whose unnest exceeds step_out_capacity must report
     overflow, never emit phantom valid (-1,-1) rows (code-review repro)."""

@@ -1,0 +1,105 @@
+"""Fourth probe: structural fixes for the speculated patched-branch gather.
+
+safeprof3: XLA executes the patched branch's (cap, C) gather even when the
+branch is not taken, once cap >= 256 (8.4 ms at the headline shape).  Try:
+(a) lax.switch 3-way instead of nested conds,
+(b) optimization_barrier pinning the gather chain inside the branch,
+(c) both.
+
+Run: python tools/safeprof4.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+I32, U32 = jnp.int32, jnp.uint32
+
+
+def main():
+    from tools.roofline import timeit, fence_floor
+    from hashjoin3d_tpu.ops.strands_windowed import _pad_table
+    from hashjoin3d_tpu.ops.windowed import windowed_lookup, chunk_bases
+    from hashjoin3d_tpu.utils.measure import fence
+
+    P, T = 1 << 24, 1 << 20
+    W, C = 8192, 1024
+    rng = np.random.default_rng(5)
+    vals = jnp.asarray(rng.integers(1, 2**31, T, dtype=np.uint32))
+    pk = rng.integers(0, T, P, dtype=np.uint32)
+    sk = jnp.asarray(np.sort(pk.reshape(-1, 1 << 18), axis=1)
+                     .reshape(-1).astype(np.int32))
+    fence((vals, sk))
+    print(f"fence floor {fence_floor()*1e3:.1f} ms", flush=True)
+
+    def row(name, fn, *xs):
+        t = timeit(fn, *xs, min_time=0.4)
+        print(f"  {name:58s} {t*1e3:8.2f} ms", flush=True)
+        return t
+
+    nchunks = P // C
+    cap = 256
+
+    def make(structure, barrier):
+        def fn(v, k):
+            vp = _pad_table(v, W)
+            k2 = k.reshape(-1, C)
+            bases = chunk_bases(k, vp.shape[0], C, W)
+            delta = k2 - bases[:, None]
+            in_range = (k2 >= 0) & (k2 < T)
+            covered = (~in_range) | ((delta >= 0) & (delta < 2 * W))
+            bad = ~jnp.all(covered, axis=1)
+            nbad = jnp.sum(bad.astype(I32))
+
+            def windowed(_):
+                return windowed_lookup(vp, k, W=W, C=C)
+
+            def patched(_):
+                out = windowed_lookup(vp, k, W=W, C=C)
+                b = bad
+                if barrier:
+                    b = lax.optimization_barrier(b)
+                pos = jnp.cumsum(b.astype(I32)) - 1
+                tgt = jnp.where(b & (pos < cap), pos, cap)
+                bad_ids = (jnp.full(cap + 1, nchunks, I32)
+                           .at[tgt].set(jnp.arange(nchunks, dtype=I32),
+                                        mode="drop")[:cap])
+                rows = (bad_ids.astype(I32)[:, None] * jnp.int32(C)
+                        + jnp.arange(C, dtype=I32)[None, :])
+                safe_rows = jnp.clip(rows, 0, k.shape[0] - 1)
+                pkeys = k[safe_rows]
+                p_ok = (pkeys >= 0) & (pkeys < T)
+                pvals = jnp.where(p_ok, v[jnp.clip(pkeys, 0, T - 1)],
+                                  jnp.uint32(0))
+                return out.at[rows.reshape(-1)].set(pvals.reshape(-1),
+                                                    mode="drop")
+
+            def gather(_):
+                in_r = (k >= 0) & (k < T)
+                return jnp.where(in_r, v[jnp.clip(k, 0, T - 1)],
+                                 jnp.uint32(0))
+
+            if structure == "switch":
+                idx = jnp.where(nbad == 0, 0,
+                                jnp.where(nbad <= cap, 1, 2)).astype(I32)
+                return lax.switch(idx, [windowed, patched, gather], None)
+            def degraded(_):
+                return lax.cond(nbad <= cap, patched, gather, None)
+            return lax.cond(nbad == 0, windowed, degraded, None)
+        return fn
+
+    row("nested cond (baseline, slow)", jax.jit(make("nested", False)),
+        vals, sk)
+    row("lax.switch 3-way", jax.jit(make("switch", False)), vals, sk)
+    row("nested cond + barrier", jax.jit(make("nested", True)), vals, sk)
+    row("lax.switch + barrier", jax.jit(make("switch", True)), vals, sk)
+
+
+if __name__ == "__main__":
+    main()
