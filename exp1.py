@@ -32,8 +32,11 @@ def main(argv=None):
     ap.add_argument("--measure-file", required=True,
                     help="CSV output path ('-' for stdout)")
     ap.add_argument("-p", "--plans", default="all",
-                    help="comma-separated plans (scr,scs,Csr,CsrUU,Crs,Nsr,Nrs,NrsNU,all) "
-                    "or numeric plans_e bitmask values (e.g. 4,8 = Csr,Crs)")
+                    help="comma-separated plans (scr,scs,Csr,CsrUU,Crs,Nsr,Nrs,NrsNU,all; "
+                    "plus CsrSel,CrsSel,NrsSel -- the reference's declared-"
+                    "only selection plans, excluded from 'all' like its ALL "
+                    "mask) or numeric plans_e bitmask values (e.g. 4,8 = "
+                    "Csr,Crs; 128,256,512 = the Sel plans)")
     ap.add_argument("--backend", default="auto",
                     choices=("auto", "device", "host"),
                     help="execution backend: TPU device, native host engine, "

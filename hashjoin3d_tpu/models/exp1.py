@@ -48,21 +48,33 @@ from ..utils.csv_writer import CSVWriter
 from ..utils.measure import (Timers, fence, repeat_mintime,
                              repeat_mintime_fenced)
 
-PLAN_NAMES = ["scr", "scs", "Csr", "CsrUU", "Crs", "Nsr", "Nrs", "NrsNU"]
+PLAN_NAMES = ["scr", "scs", "Csr", "CsrUU", "Crs", "Nsr", "Nrs", "NrsNU",
+              "CsrSel", "CrsSel", "NrsSel"]
+
+#: plans the reference's ALL mask covers (main_experiment1.cc:111: ALL =
+#: (CsrUU << 1) - 1 minus the commented-out bits) -- "all" selects these;
+#: the *Sel plans (declared-only in the reference, implemented here) are
+#: opt-in by name or bit
+DEFAULT_PLANS = ["scr", "scs", "Csr", "CsrUU", "Crs", "Nsr", "Nrs", "NrsNU"]
 
 # plans_e bit values (main_experiment1.cc:96-113) -- lets scripted workflows
-# pass numeric masks like ``-p 4,8`` (Csr|Crs) in place of plan names
+# pass numeric masks like ``-p 4,8`` (Csr|Crs) in place of plan names;
+# the Sel bits are the reference's commented-out values
 PLAN_BITS = {"scr": 1, "scs": 2, "Csr": 4, "Crs": 8, "Nrs": 16, "Nsr": 32,
-             "NrsNU": 64, "CsrUU": 8192}
+             "NrsNU": 64, "CsrSel": 128, "CrsSel": 256, "NrsSel": 512,
+             "CsrUU": 8192}
 
 
-def resolve_plan_items(plans, names, bits):
+def resolve_plan_items(plans, names, bits, all_names=None):
     """Shared plan-list resolution for both experiment CLIs.
 
     Accepts plan names, ``all``/``none``, and (beyond the reference, whose
     ``plansFromVec`` silently drops anything not in its name map,
     main_experiment1.cc:1361-1370) numeric ``plans_e`` bitmask values --
     ``4,8`` and ``12`` both select Csr+Crs.  Unknown names raise.
+    ``all_names`` narrows what ``all`` selects (the reference's ALL mask
+    excludes its commented-out Sel bits, main_experiment1.cc:111, so
+    "all" CSVs stay column-diffable against the reference binaries).
     """
     out = set()
     for p in plans:
@@ -70,7 +82,7 @@ def resolve_plan_items(plans, names, bits):
             if not item:
                 continue
             if item.lower() == "all":
-                out.update(names)
+                out.update(all_names or names)
             elif item.lower() == "none":
                 pass
             elif item in names:
@@ -103,6 +115,14 @@ def check_route(plan_name: str, out: dict, allowance: int | None) -> None:
             "a windowed lookup fell back to "
             f"{'patching' if route == 1 else 'the serialized gather'} -- "
             "rerun with assert_route=None/--allow-route to accept")
+
+
+def _with_sel_count(out: dict, sel_mask) -> dict:
+    """Attach the selection-output cardinality (c_selProbe) to a probe
+    strand's result dict -- the *Sel plans' extra counter."""
+    out = dict(out)
+    out["c_selProbe"] = jnp.sum(sel_mask.astype(jnp.int64))
+    return out
 
 
 _CSV_HEADER = [
@@ -187,7 +207,8 @@ class Experiment1:
 
     @staticmethod
     def _resolve_plans(plans):
-        return resolve_plan_items(plans, PLAN_NAMES, PLAN_BITS)
+        return resolve_plan_items(plans, PLAN_NAMES, PLAN_BITS,
+                                  all_names=DEFAULT_PLANS)
 
     @property
     def card_r(self):
@@ -384,7 +405,8 @@ class Experiment1:
             int(durs["probe"] / reps * 1e9),
             int(durs["last_probe"] * 1e9),  # ~ Top inclusive runtime of last run
             len(build_keys), "NA", len(build_keys),
-            len(probe_keys), "NA",
+            len(probe_keys),
+            int(out["c_selProbe"]) if "c_selProbe" in out else "NA",
             int(out["c_htProbe"]), int(out["c_htProbeCmp"]),
             int(out["c_unnest"]) if has_unnest else "NA",
             c_top,
@@ -565,4 +587,47 @@ class Experiment1:
                         t, p, 1, do_unnest=False,
                         probes_permutation=dd_r),
                     "nested", "S", "R", has_unnest=False)
+
+        # --- *Sel plans: selection pushed under the probe ------------------
+        # The reference DECLARES CsrSel/CrsSel/NrsSel but never implements
+        # them (main_experiment1.cc:107-110, 275-280: commented-out enum
+        # bits and name-map rows).  We define them as the obvious reading
+        # -- the probe side passes a selection first (AlgSelection
+        # semantics, models/algebra.py) -- with the predicate
+        # ``attr < probe_domain / 2``; the strand's ``mask`` machinery
+        # makes unselected rows neither probe nor count comparisons.
+        # Device-only (the native host ABI has no filtered-probe entry).
+        def _sel_mask(dom_half):
+            return lambda p: p < jnp.uint32(dom_half)
+
+        if "CsrSel" in self.plans:
+            assert dd_r, "CsrSel needs the dense-direct layout (R.k dense)"
+            sel = _sel_mask(max(self.fk_max // 2, 1))
+            self._run_join_plan(
+                "CsrSel", self._rk, self._sa, nb_r,
+                chaining_build(nb_r, self.card_r, dd_r),
+                jax.jit(lambda t, p: _with_sel_count(
+                    direct_probe_strand_sorted(t, p, unique=True,
+                                               mask=sel(p)), sel(p))),
+                "chaining", "R", "S", has_unnest=False)
+        if "CrsSel" in self.plans:
+            sel = _sel_mask(max(self.card_r // 2, 1))
+            self._run_join_plan(
+                "CrsSel", self._sa, self._rk, nb_s,
+                chaining_build(nb_s, self.num_dv_sa, dom=self.fk_max,
+                               ee=False),
+                jax.jit(lambda t, p: _with_sel_count(
+                    keydirect_chaining_strand_sorted(
+                        t, p, self.card_s, mask=sel(p)), sel(p))),
+                "chaining", "S", "R", has_unnest=False)
+        if "NrsSel" in self.plans:
+            sel = _sel_mask(max(self.card_r // 2, 1))
+            self._run_join_plan(
+                "NrsSel", self._sa, self._rk, nb_s,
+                nested_build(nb_s, self.num_dv_sa, dom=self.fk_max),
+                jax.jit(lambda t, p: _with_sel_count(
+                    keydirect_nested_strand_sorted(
+                        t, p, self.card_s, do_unnest=True, mask=sel(p)),
+                    sel(p))),
+                "nested", "S", "R", has_unnest=True)
         self.timers.stop("run")

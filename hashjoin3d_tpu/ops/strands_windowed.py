@@ -77,6 +77,13 @@ class _suppress_routes:
         _route_records.pop()
 
 
+#: When True, strands additionally emit per-lookup ``route_i_<n>`` /
+#: ``route_i_<n>_nbad`` keys (trace order of the safe_lookups inside the
+#: strand) -- the attribution tool for a route_worst regression
+#: (tools/routedebug.py).  Trace-time flag: jax.clear_caches() after flip.
+ROUTE_VERBOSE = False
+
+
 def _with_route(fn):
     """Wrap a strand: collect every inner safe_lookup's route and add
     ``route_worst`` (max route code) and ``route_nbad`` (max uncovered
@@ -96,6 +103,10 @@ def _with_route(fn):
                     jnp.maximum, (r for r, _ in rec))
                 out["route_nbad"] = functools.reduce(
                     jnp.maximum, (b for _, b in rec))
+                if ROUTE_VERBOSE:
+                    for i, (r, b) in enumerate(rec):
+                        out[f"route_i_{i}"] = r
+                        out[f"route_i_{i}_nbad"] = b
             else:
                 out["route_worst"] = jnp.int32(ROUTE_WINDOWED)
                 out["route_nbad"] = jnp.int32(0)
@@ -277,6 +288,10 @@ def _sort_probes(pk: jax.Array, domain: int | None = None) -> SortedProbes:
     chunk = probe_sort_chunk(P, domain)
     W = window_for_chunk(chunk, domain) if domain else DEFAULT_W
     if chunk is None:
+        if domain:
+            # global-sort sparse-stream margin (see _sort_bucket_ids): a
+            # sorted chunk spans ~C * domain / P keys; keep 2x headroom
+            W = max(W, stride_params(domain / max(P, 1), margin=2.0)[0])
         skey, srow = lax.cond(
             is_sorted_ascending(pku),
             lambda k: (k, rowv),
@@ -344,11 +359,21 @@ def rows_window(P: int, segment: int | None, n_rows: int,
 def _sort_bucket_ids(b: jax.Array, num_buckets: int):
     """(ascending bucket-id stream, lookup W) for windowed chain-length
     sums; segmented when profitable (the -1 dead markers sort to each
-    segment's front, where safe_lookup yields 0)."""
+    segment's front, where safe_lookup yields 0).
+
+    On the GLOBAL-sort route the stream is sparse whenever the bucket
+    count approaches the probe count (Crs at P == #buckets): a sorted
+    1024-chunk then spans ~C * #buckets / P ids, exactly the default W
+    with zero margin -- ~1-2% of chunks fluctuate past it (measured 38
+    patched chunks at 2^21/2^21, artifacts/r5/routedebug_crs25.log), so
+    the window carries the same 2x margin as every other stride-sized
+    lookup."""
     from .sort import probe_sort_chunk, sort_segmented_1op, window_for_chunk
-    chunk = probe_sort_chunk(b.shape[0], num_buckets)
+    P = b.shape[0]
+    chunk = probe_sort_chunk(P, num_buckets)
     W = window_for_chunk(chunk, num_buckets)
     if chunk is None:
+        W = max(W, stride_params(num_buckets / max(P, 1), margin=2.0)[0])
         return lax.sort((b.astype(I32),), num_keys=1)[0], W
     return sort_segmented_1op(b.astype(I32), chunk), W
 
@@ -383,7 +408,8 @@ def _miss_chain_cmps(table_bucket_len, num_buckets, skey_u32, miss_mask,
 
 @partial(jax.jit, static_argnames=("unique", "nested"))
 @_with_route
-def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
+def direct_probe_strand_sorted(table, pk, unique=False, nested=False,
+                               mask=None):
     """Windowed Csr / CsrUU / Nsr probe strand (dense-direct tables).
 
     Equivalent to ``models.exp1._chaining_probe_strand`` /
@@ -394,19 +420,38 @@ def direct_probe_strand_sorted(table, pk, unique=False, nested=False):
 
     ``nested=True`` = the Nsr plan: same packed-word probe, plus the
     positional unnest of singleton groups (c_unnest = matches).
+
+    ``mask`` marks live probe rows (a pushed-down selection, the
+    exp-1 *Sel plans): dead rows neither probe nor contribute miss-side
+    comparisons.  Dead rows travel as the all-ones key with liveness as a
+    second sort column, exactly like the keydirect strands' padded-shuffle
+    path, so a live probe whose key IS 0xFFFFFFFF stays correct.
     """
     direct = table.direct
     n = direct.shape[0]
-    skey, srow, Wk, _ = _sort_probes(pk, domain=n)
+    live_s = None
+    if mask is None:
+        skey, srow, Wk, _ = _sort_probes(pk, domain=n)
+    else:
+        pk_m = jnp.where(mask, pk.astype(U32), jnp.uint32(0xFFFFFFFF))
+        skey, live_i, srow = lax.sort(
+            (pk_m, mask.astype(I32), jnp.arange(pk.shape[0], dtype=I32)),
+            num_keys=1)
+        live_s = live_i > 0
+        from .sort import probe_sort_chunk, window_for_chunk
+        Wk = window_for_chunk(probe_sort_chunk(pk.shape[0], n), n)
     sk = skey.astype(I32)  # keys >= 2^31 go negative = out-of-range = miss
 
     d = safe_lookup(direct, sk, W=Wk)
     hit = d != 0  # packed words carry a 1-based chain position: never 0
+    if live_s is not None:
+        hit = hit & live_s
     row = (d & jnp.uint32((1 << table.direct_shift) - 1)).astype(I32)
     pos1 = (d >> jnp.uint32(table.direct_shift)).astype(I32)
 
     blen = (table.bucket_main_len if nested else table.bucket_len)
-    miss_cmps = _miss_chain_cmps(blen, table.num_buckets, skey, ~hit,
+    miss = (~hit) if live_s is None else (live_s & ~hit)
+    miss_cmps = _miss_chain_cmps(blen, table.num_buckets, skey, miss,
                                  table.hashfun)
 
     if unique or nested:

@@ -168,6 +168,59 @@ def test_exp1_result_set_vs_numpy_oracle():
     assert int(out["total"]) == int(out2["total"]) == len(want)
 
 
+def test_exp1_sel_plans_vs_numpy_oracle():
+    """The *Sel plans (the reference's declared-only selection variants,
+    main_experiment1.cc:107-110, defined here as probe-side selection
+    ``attr < domain/2``): counters and result CSV fields must match a
+    numpy oracle of filter-then-join, and c_selProbe must record the
+    selection's output cardinality."""
+    from tests.oracle import ChainingOracle, NestedOracle
+
+    params = dict(log2_card_r=6, log2_card_s=8, skew=False, t=0, b=1)
+    buf = io.StringIO()
+    exp = Experiment1(**params, measure_file=buf, min_runtime_s=0.0,
+                      min_repeat=1, trace=False, backend="device",
+                      plans=["CsrSel", "CrsSel", "NrsSel"])
+    exp.init()
+    exp.run()
+    hdr, rows = _load(buf.getvalue())
+    got = {r[hdr.index("plan")]: r for r in rows}
+    assert set(got) == {"CsrSel", "CrsSel", "NrsSel"}
+    col = {c: hdr.index(c) for c in ("c_selProbe", "c_htProbe",
+                                     "c_htProbeCmp", "c_unnest", "c_top",
+                                     "c_scanProbe")}
+    rk, sa, ndv = exp1_data(6, 8, False, 0)
+    nb_r = max(exp.card_r // exp.b, 1)
+    nb_s = max(exp.num_dv_sa // exp.b, 1)
+
+    # CsrSel: build R, probe selected S (a < fkMax/2)
+    sel_s = sa[sa < exp.fk_max // 2]
+    _, m, c = ChainingOracle(rk, nb_r).probe(sel_s, unique=True)
+    r = got["CsrSel"]
+    assert int(r[col["c_scanProbe"]]) == sa.size
+    assert int(r[col["c_selProbe"]]) == sel_s.size
+    assert int(r[col["c_htProbe"]]) == m
+    assert int(r[col["c_htProbeCmp"]]) == c
+
+    # CrsSel: build S, probe selected R (k < |R|/2), full-chain walk
+    sel_r = rk[rk < 32]
+    _, m2, c2 = ChainingOracle(sa, nb_s).probe(sel_r)
+    r = got["CrsSel"]
+    assert int(r[col["c_selProbe"]]) == sel_r.size == 32
+    assert int(r[col["c_htProbe"]]) == m2
+    assert int(r[col["c_htProbeCmp"]]) == c2
+
+    # NrsSel: nested build S, probe selected R, + unnest
+    nested, m3, c3 = NestedOracle(sa, nb_s).probe(sel_r)
+    r = got["NrsSel"]
+    assert int(r[col["c_selProbe"]]) == 32
+    assert int(r[col["c_htProbe"]]) == m3
+    assert int(r[col["c_htProbeCmp"]]) == c3
+    n_unnest = len(NestedOracle(sa, nb_s).unnest(nested))
+    assert int(r[col["c_unnest"]]) == n_unnest
+    assert int(r[col["c_top"]]) == n_unnest
+
+
 def test_exp4_result_set_vs_numpy_oracle():
     """Ndu and Chj produce the same triples, equal to the numpy oracle."""
     from hashjoin3d_tpu.models.exp4 import _chj_probe_strand, _ndu_probe_strand
