@@ -604,34 +604,27 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = (),
     the vectorized unnest (``algebra.hh:510-541``): instead of a per-tuple
     while-loop over SubNodes, every output row materializes in parallel.
 
-    TPU-native formulation: scatter each non-empty segment's (index, offset) at
-    its first output slot, then fill forward with cumulative maxima --
-    segment-sized scatters + output-sized scans, all bandwidth-bound.  (The
-    binary-search formulation costs ~log2(out) random gathers per output slot;
-    gathers are ~10 ns/elem on v5e.)
+    TPU-native formulation: ONE segment-sized scatter marks each non-empty
+    segment's rank at its first output slot; a cumulative max fills the
+    segment ids forward; and EVERYTHING ELSE -- the segment's start
+    offset, every propagated payload, the optional segment length -- rides
+    the Pallas windowed lookup keyed by the resulting NONDECREASING ``p``
+    stream (~0.3 ns/elem where the former per-quantity head scatters cost
+    ~4.9 ns per segment and the out-sized gathers ~10 ns/elem).  Round-5
+    change: the previous formulation paid a SECOND P-update scatter for
+    the start offsets plus one more per strong-expansion payload -- at
+    exp-4 scale (16.8M segments into 12.6M slots, twice per strand) those
+    scatters were ~45% of the whole Ndu probe strand.
 
     ``payloads``: optional per-segment i32 arrays to propagate to every
-    output slot of their segment.  Two shape-dependent strategies
-    (measured on v5e):
-
-    * ``out_size <= 8 * P``: ONE out-sized gather ``pay[p]`` each
-      (~10 ns/elem) -- at moderate expansion ratios cheaper than any
-      scatter+scan propagation.
-    * ``out_size > 8 * P`` (strong expansion, e.g. 1M probes -> 16.8M
-      rows): a (rank, value) lexicographic-max scan (``scan.maxpair``)
-      over i32 head scatters.  Here the per-payload gather costs
-      out_size * 10 ns while the scatter's update count P is
-      comparatively tiny; measured end-to-end (exp-1 Nrs probe strand)
-      the scan propagation wins by ~30% -- and vs the earlier packed
-      ``(rank << 26 | value)`` int64 formulation it drops the i64 head
-      scatter (~11-16x an i32 one on v5e) and the 2^26 payload limit.
+    output slot of their segment (windowed ``pay[p]``; bit patterns are
+    carried exactly, so negative markers survive).
 
     ``with_seg_len`` appends the expansion segment's length per output slot
     (== ``counts[p]`` whenever the segment is fully materialized; the last
-    segment of a truncated expansion reports its CUT length).  It costs one
-    reverse scan -- far cheaper than propagating ``counts`` as a payload
-    through the strong-expansion packed path, whose int64 scatter runs
-    ~11-16x an int32 one (the emit_pos consumers need this).
+    segment of a truncated expansion reports its CUT length) -- one more
+    windowed lookup of the segment-end offsets (the emit_pos consumers
+    need this).
 
     Returns ``(p, within, valid, total, *propagated_payloads[, seg_len])``.
     """
@@ -642,52 +635,40 @@ def expand(counts: jax.Array, out_size: int, payloads: tuple = (),
     off = (cum - counts).astype(I32)
 
     from .scan import engine_multi_scan
+    # lazy: strands_windowed imports layout at module load (safe_lookup is
+    # the engine's windowed-access front door; the cycle resolves at call
+    # time)
+    from .strands_windowed import safe_lookup, stride_params
 
     is_head = counts > 0
     tgt = jnp.where(is_head, off, out_size)  # empty segments scatter off-end
     rank = jnp.arange(P, dtype=I32)
     head_p = jnp.full(out_size, -1, I32).at[tgt].set(rank, mode="drop")
-    head_off = jnp.full(out_size, -1, I32).at[tgt].set(off, mode="drop")
-
-    # ALL forward scans fuse into one engine pass: the p/start cummaxes
-    # plus one (rank, payload) maxpair per strong-expansion payload.  The
-    # maxpair formulation replaces the old packed (rank << 26 | value)
-    # int64 scatter + i64 cummax: an i32 head scatter costs ~11-16x less
-    # than its i64 twin on v5e (CLAUDE.md), the i64 pack (lax twin) is one
-    # elementwise pass, and the payload range limit widens from 2^26 to
-    # full i32.
-    strong = out_size > 8 * P
-    arrays = [head_p, head_off]
-    ops = ["max", "max"]
-    if strong:
-        for pay in payloads:
-            head_pay = jnp.zeros(out_size, I32).at[tgt].set(
-                jnp.asarray(pay, I32), mode="drop")
-            arrays += [head_p, head_pay]
-            ops.append("maxpair")
-    scans = engine_multi_scan(tuple(arrays), tuple(ops))
-    p, start = scans[0], scans[1]
+    (p,) = engine_multi_scan((head_p,), ("max",))
     j = jnp.arange(out_size, dtype=I32)
-    within = j - start
-    valid = (j < total) & (p >= 0)
+    valid_p = p >= 0
     pc = jnp.maximum(p, 0)
 
-    if strong:
-        # slots 2+2i are the redundant rank scans; 2+2i+1 the payloads
-        # (garbage before the first head, where valid is False anyway)
-        props = [scans[3 + 2 * i] for i in range(len(payloads))]
-    else:
-        props = [jnp.asarray(pay, I32)[pc] for pay in payloads]
+    # p advances ~P/out_size per slot (plus jumps over empty segments);
+    # the 2x margin absorbs count fluctuation like every stride-keyed
+    # lookup.  Coverage is self-guarded: safe_lookup patches or falls
+    # back (and records the route) on adversarial distributions.
+    Wp, Cp = stride_params(P / max(out_size, 1), margin=2.0)
+    start = safe_lookup((off + 1).view(U32), pc, W=Wp, C=Cp).astype(I32) - 1
+    within = j - start
+    valid = (j < total) & valid_p
+
+    props = [safe_lookup(jnp.asarray(pay, I32).view(U32), pc,
+                         W=Wp, C=Cp).view(I32)
+             for pay in payloads]
     if with_seg_len:
-        # next segment's start, filled from the right (capped by the true
-        # total: the LAST segment ends at total, not out_size); its
-        # distance to this segment's start IS the segment length.  One
-        # reverse scan -- always cheaper than an out-sized ~10 ns/elem
-        # gather of counts[p], and far cheaper than an int64 payload.
-        nxt = jnp.where(head_off >= 0, head_off, out_size)
-        nxt = jnp.concatenate([nxt[1:], jnp.array([out_size], I32)])
-        (nxt_min,) = engine_multi_scan((nxt,), ("min",), reverse=True)
-        next_start = jnp.minimum(nxt_min, total.astype(I32))
-        props.append(jnp.maximum(next_start - start, 0))
+        # segment end = cum[p], capped by the materialized buffer and the
+        # true total; distance to start IS the (possibly cut) length
+        seg_end = safe_lookup((cum.astype(I32) + 1).view(U32), pc,
+                              W=Wp, C=Cp).astype(I32) - 1
+        seg_end = jnp.minimum(seg_end,
+                              jnp.minimum(jnp.int32(out_size),
+                                          total.astype(I32)))
+        props.append(jnp.maximum(seg_end - start, 0))
 
     return (pc, within, valid, total, *props)
