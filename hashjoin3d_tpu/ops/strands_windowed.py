@@ -117,9 +117,9 @@ def _with_route(fn):
 
 def _pad_table(arr: jax.Array, W: int = DEFAULT_W) -> jax.Array:
     """Zero-pad a u32 value array to the windowed kernel's size contract
-    (>= 2W, multiple of W)."""
+    (>= W + 1024, multiple of 1024)."""
     T = arr.shape[0]
-    Tp = max(2 * W, -(-T // W) * W)
+    Tp = max(W + 1024, -(-T // 1024) * 1024)
     if Tp != T:
         arr = jnp.concatenate([arr, jnp.zeros(Tp - T, arr.dtype)])
     return arr
@@ -161,7 +161,7 @@ def safe_lookup(values: jax.Array, keys: jax.Array,
     bases = chunk_bases(kp, vp.shape[0], C, W)
     delta = k2 - bases[:, None]
     in_range = (k2 >= 0) & (k2 < T)
-    covered = (~in_range) | ((delta >= 0) & (delta < 2 * W))
+    covered = (~in_range) | ((delta >= 0) & (delta < W + 1024))
     bad = ~jnp.all(covered, axis=1)                      # (nchunks,)
     nbad = jnp.sum(bad.astype(I32))
     # the patch budget scales with the stream: a long segment-sorted stream

@@ -50,37 +50,40 @@ DEFAULT_W = 1024
 
 
 def _windowed_kernel(bases_ref, keys_ref, table_ref, out_ref, window, sem):
-    """One grid step: resolve C sorted keys against window [base, base+2W).
+    """One grid step: resolve C sorted keys against window
+    [base, base + W + 1024).
 
     Everything is laid out 2D with a 128-lane minor axis (Mosaic's native
     (8, 128) i32 tiling; 1D formulations hit tiling-mismatch / divisibility
     errors in the DMA lowering):
 
-    bases_ref: SMEM i32[nchunks] scalar-prefetched window bases, W-aligned
-               (W >= 1024 keeps the DMA row offset divisible by the 8-row
-               sublane tile; the 2W window covers any chunk spread <= W)
+    bases_ref: SMEM i32[nchunks] scalar-prefetched window bases, aligned
+               to the 1024-element (8-row) sublane tile -- the minimum the
+               DMA row offset needs.  Window size = the W of coverage
+               (spread <= W guaranteed in-window) + 1024 of alignment
+               slack; the previous W-aligned-base formulation paid a FULL
+               extra W of slack (2W windows -- 44% more DMA + select work
+               at W = 8192, tools/roofline.py r5)
     keys_ref:  VMEM i32[C, 1] sorted keys of this chunk
     table_ref: u32[T//128, 128] the table, 128 entries per row
                (compiler-placed, typically HBM; manually DMA'd)
     out_ref:   VMEM u32[C, 1] looked-up values (0 where key not in window)
-    window:    VMEM u32[2W//128, 128] scratch
+    window:    VMEM u32[(W+1024)//128, 128] scratch
 
     The lookup decomposes delta = key - base into (row, lane): a static
-    R-iteration select loop resolves the row (R = 2W/128 = 16 at the
-    default W), one lane-iota select resolves the lane -- ~2W + 3*128 VPU
-    ops per probe instead of one serialized scalar fetch.
+    R-iteration select loop resolves the row (R = (W+1024)/128 = 16 at
+    the default W), one lane-iota select resolves the lane -- ~W + 3*128
+    VPU ops per probe instead of one serialized scalar fetch.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Cr = keys_ref.shape[0]         # == C // 128 sublane rows of 128 keys
     C = Cr * 128
-    R = window.shape[0]            # == 2 * W // 128
-    W = R * 128 // 2
+    R = window.shape[0]            # == (W + 1024) // 128
     j = pl.program_id(0)
-    base = pl.multiple_of(bases_ref[j], W)
-    base_row = pl.multiple_of(jax.lax.div(base, jnp.int32(128)),
-                              W // 128)
+    base = pl.multiple_of(bases_ref[j], 1024)
+    base_row = pl.multiple_of(jax.lax.div(base, jnp.int32(128)), 8)
 
     copy = pltpu.make_async_copy(
         table_ref.at[pl.ds(base_row, R), :], window, sem)
@@ -124,17 +127,15 @@ def _windowed_kernel_db(bases_ref, keys_ref, table_ref, out_ref, window,
     from jax.experimental.pallas import tpu as pltpu
 
     Cr = keys_ref.shape[0]
-    R = window.shape[1]
-    W = R * 128 // 2
+    R = window.shape[1]            # == (W + 1024) // 128
     j = pl.program_id(0)
     nch = pl.num_programs(0)
     slot = jax.lax.rem(j, jnp.int32(2))
     nslot = jax.lax.rem(j + jnp.int32(1), jnp.int32(2))
 
     def copy_for(chunk, s):
-        base = pl.multiple_of(bases_ref[chunk], W)
-        base_row = pl.multiple_of(jax.lax.div(base, jnp.int32(128)),
-                                  W // 128)
+        base = pl.multiple_of(bases_ref[chunk], 1024)
+        base_row = pl.multiple_of(jax.lax.div(base, jnp.int32(128)), 8)
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(base_row, R), :], window.at[s], sems.at[s])
 
@@ -148,7 +149,7 @@ def _windowed_kernel_db(bases_ref, keys_ref, table_ref, out_ref, window,
     def _next():
         copy_for(j + 1, nslot).start()
 
-    base = pl.multiple_of(bases_ref[j], W)
+    base = pl.multiple_of(bases_ref[j], 1024)
     delta = keys_ref[:] - base
     hi = jax.lax.shift_right_logical(delta, jnp.int32(7))
     lo = delta & jnp.int32(127)
@@ -170,18 +171,20 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
                     db: bool = False) -> jax.Array:
     """``table[keys_sorted]`` for nondecreasing keys, without a gather.
 
-    ``table``: u32[T] with T >= 2W and T a multiple of W; ``keys_sorted``:
-    i32[n], n a multiple of C (pad with -1), NEARLY nondecreasing: windows
-    anchor on each chunk's max key, so interspersed negative miss markers
-    (e.g. the -1 holes of a ``key_direct`` image) are fine as long as each
-    chunk's in-range keys span <= W.  Keys outside their chunk's window --
-    negative or >= T -- yield 0; for packed direct words 0 is never a valid
-    entry (the chain position field is 1-based), so 0 doubles as the miss
-    marker.  Coverage of in-range keys must be pre-validated with
-    :func:`windowed_coverage_ok`.  ``W`` must be >= 1024 (Mosaic tiling)
-    and a power of two.  ``db=True`` double-buffers the window DMA
-    (:func:`_windowed_kernel_db`) -- same results, chunk j+1's window
-    ships during chunk j's compute.
+    ``table``: u32[T] with T >= W + 1024 and T a multiple of 1024;
+    ``keys_sorted``: i32[n], n a multiple of C (pad with -1), NEARLY
+    nondecreasing: windows anchor on each chunk's max key, so interspersed
+    negative miss markers (e.g. the -1 holes of a ``key_direct`` image)
+    are fine as long as each chunk's in-range keys span <= W.  Keys
+    outside their chunk's window -- negative or >= T -- yield 0; for
+    packed direct words 0 is never a valid entry (the chain position
+    field is 1-based), so 0 doubles as the miss marker.  Coverage of
+    in-range keys must be pre-validated with :func:`windowed_coverage_ok`.
+    ``W`` must be >= 1024 (Mosaic tiling) and a power of two; the actual
+    window is W + 1024 elements (coverage + one sublane tile of
+    alignment slack -- see ``chunk_bases``).  ``db=True`` double-buffers
+    the window DMA (:func:`_windowed_kernel_db`) -- same results, chunk
+    j+1's window ships during chunk j's compute.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -193,10 +196,10 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
     assert n % C == 0, f"pad keys to a multiple of {C}"
     assert C % 128 == 0, "C must be a multiple of 128"
     assert W >= 1024 and (W & (W - 1)) == 0, "W must be a power of two >= 1024"
-    assert T >= 2 * W, f"table smaller than window ({T} < {2*W})"
-    assert T % W == 0, f"table size must be a multiple of W ({T} % {W})"
-    assert T % 128 == 0, "table size must be a multiple of 128"
+    assert T >= W + 1024, f"table smaller than window ({T} < {W + 1024})"
+    assert T % 1024 == 0, f"table size must be a multiple of 1024 ({T})"
     nchunks = n // C
+    Rw = (W + 1024) // 128         # window rows
 
     keys_sorted = keys_sorted.astype(I32)
     bases = chunk_bases(keys_sorted, T, C, W)
@@ -221,9 +224,9 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
         scratch_shapes=(
             # db: two window slots + a DMA semaphore each, so chunk j+1's
             # window ships while chunk j's select loop runs
-            [pltpu.VMEM((2, 2 * W // 128, 128), jnp.uint32),
+            [pltpu.VMEM((2, Rw, 128), jnp.uint32),
              pltpu.SemaphoreType.DMA((2,))] if db else
-            [pltpu.VMEM((2 * W // 128, 128), jnp.uint32),
+            [pltpu.VMEM((Rw, 128), jnp.uint32),
              pltpu.SemaphoreType.DMA]
         ),
     )
@@ -247,7 +250,7 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
         # the enclosing shard_map keeps vma checking; compiled TPU runs
         # still take the kernel.
         delta = keys_sorted.reshape(-1, C) - bases[:, None]
-        in_window = (delta >= 0) & (delta < 2 * W)
+        in_window = (delta >= 0) & (delta < W + 1024)
         safe = jnp.clip(keys_sorted, 0, T - 1)
         val = jnp.take(table_u32, safe, axis=0)
         return jnp.where(in_window.reshape(n), val, jnp.uint32(0))
@@ -277,9 +280,13 @@ def windowed_lookup(table: jax.Array, keys_sorted: jax.Array,
 
 @partial(jax.jit, static_argnames=("T", "C", "W"))
 def chunk_bases(keys_sorted: jax.Array, T: int, C: int, W: int) -> jax.Array:
-    """Window base per chunk: the chunk's MAX key aligned down to W, minus
-    W, clamped into the table (T is a multiple of W, so the clamp keeps the
-    alignment Mosaic's tiling-divisibility check needs).
+    """Window base per chunk: ``(kmax - W)`` aligned down to the
+    1024-element sublane tile, clamped into the table (T is a multiple of
+    1024, so the clamp keeps the alignment Mosaic's DMA needs).  The
+    window is W + 1024 elements: every key in ``[kmax - W, kmax]`` lands
+    in ``[base, base + W + 1024)`` -- coverage spread W plus ONE tile of
+    alignment slack, where the previous W-aligned-base formulation paid a
+    full extra W (2W windows).
 
     Anchoring on the max (not the first key) makes miss markers robust:
     nearly-sorted key streams with interspersed ``-1`` holes (e.g. a
@@ -287,7 +294,8 @@ def chunk_bases(keys_sorted: jax.Array, T: int, C: int, W: int) -> jax.Array:
     every in-range key as long as the chunk's in-range spread is <= W.
     """
     kmax = jnp.max(keys_sorted.reshape(-1, C).astype(I32), axis=1)
-    base = jnp.clip((kmax & ~jnp.int32(W - 1)) - W, 0, max(T - 2 * W, 0))
+    base = jnp.clip((kmax - W) & ~jnp.int32(1023), 0,
+                    max(T - (W + 1024), 0))
     return base
 
 
@@ -312,5 +320,5 @@ def windowed_coverage_ok(keys_sorted: jax.Array, T: int,
     bases = chunk_bases(keys_sorted, T, C, W)
     delta = k2 - bases[:, None]
     in_range = (k2 >= 0) & (k2 < T)
-    ok = jnp.where(in_range, (delta >= 0) & (delta < 2 * W), True)
+    ok = jnp.where(in_range, (delta >= 0) & (delta < W + 1024), True)
     return jnp.all(ok)

@@ -62,17 +62,17 @@ def test_probe_sort_chunk_policy():
 
 def _simulate_uncovered_chunks(P, domain, segment, W, C=1024, seed=0):
     """Uncovered window chunks of a segment-sorted uniform key stream,
-    computed with safe_lookup's exact coverage math (chunk_bases policy:
-    base = align_down(chunk max) - W, window [base, base + 2W))."""
+    computed with safe_lookup's exact coverage math (chunk_bases policy,
+    r5: base = align1024(chunk max - W), window [base, base + W + 1024))."""
     rng = np.random.default_rng(seed)
     keys = rng.integers(0, domain, P, dtype=np.int64)
     k2 = np.sort(keys.reshape(P // segment, segment), axis=1).reshape(P)
-    T = max(2 * W, -(-domain // W) * W)
+    T = max(W + 1024, -(-domain // 1024) * 1024)
     c2 = k2.reshape(P // C, C)
     kmax = c2.max(axis=1)
-    base = np.clip((kmax & ~(W - 1)) - W, 0, max(T - 2 * W, 0))
+    base = np.clip((kmax - W) & ~1023, 0, max(T - (W + 1024), 0))
     delta = c2 - base[:, None]
-    covered = (delta >= 0) & (delta < 2 * W)
+    covered = (delta >= 0) & (delta < W + 1024)
     return int((~covered.all(axis=1)).sum())
 
 
@@ -275,11 +275,11 @@ def _simulate_rows_stream_uncovered(P, domain, segment, n_rows, W, C=1024,
     stream = np.concatenate(pos).astype(np.int64)
     n = (len(stream) // C) * C
     c2 = stream[:n].reshape(-1, C)
-    T = max(2 * W, -(-n_rows // W) * W)
+    T = max(W + 1024, -(-n_rows // 1024) * 1024)
     kmax = c2.max(axis=1)
-    base = np.clip((kmax & ~(W - 1)) - W, 0, max(T - 2 * W, 0))
+    base = np.clip((kmax - W) & ~1023, 0, max(T - (W + 1024), 0))
     delta = c2 - base[:, None]
-    covered = (delta >= 0) & (delta < 2 * W)
+    covered = (delta >= 0) & (delta < W + 1024)
     return int((~covered.all(axis=1)).sum())
 
 
