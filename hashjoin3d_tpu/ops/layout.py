@@ -332,8 +332,13 @@ def compact_group_index(keys: jax.Array, skey: jax.Array, srow: jax.Array,
         stride = n / cap                # heads stride by rows-per-key
         if stride <= 8:
             # windowed directory fetch (kernel cost grows with the window,
-            # so past ~8 rows/key the serialized gather wins outright)
-            W, C = stride_params(stride)
+            # so past ~8 rows/key the serialized gather wins outright).
+            # margin=2: head positions fluctuate with the group-size draw
+            # (the r5 tile-aligned windows removed the old formulation's
+            # incidental extra-W slack that used to absorb this -- without
+            # the margin the exp-4 12.6M-row builds silently degraded to
+            # the serialized gather, 226 -> 429 ms)
+            W, C = stride_params(stride, margin=2.0)
 
             def fetch(vals):
                 return safe_lookup(vals, hp, W=W, C=C)

@@ -283,6 +283,49 @@ def _simulate_rows_stream_uncovered(P, domain, segment, n_rows, W, C=1024,
     return int((~covered.all(axis=1)).sum())
 
 
+def test_directory_fetch_window_covers_head_stream():
+    """The build-side directory fetch (layout.compact_group_index): head
+    positions of sorted key runs fluctuate with the group-size draw, so
+    the window needs the standard 2x margin.  Under margin 1 the r5
+    tile-aligned windows (which removed the old 2W formulation's
+    incidental slack) silently degraded the exp-4 12.6M-row builds to the
+    serialized gather (build 226 -> 429 ms, artifacts/r5/exp4_24c.log) --
+    builds carry no route output, so only this simulation and the wall
+    clock can catch it."""
+    from hashjoin3d_tpu.ops.strands_windowed import stride_params
+
+    rng = np.random.default_rng(17)
+    # exp-4's BIMODAL fk multiplicity: a common region at ~4 rows/key next
+    # to an exclusive region at ~2 (mean 2.4) -- the head-position stride
+    # is REGIONAL, so a window sized for the mean stride under-covers the
+    # dense region (this, not mere fluctuation, is what degraded)
+    dv_a, dv_b = 1 << 18, 1 << 20
+    keys = np.sort(np.concatenate([
+        rng.integers(0, dv_a, 4 * dv_a),
+        dv_a + rng.integers(0, dv_b, 2 * dv_b)]))
+    n, cap = keys.size, dv_a + dv_b
+    first = np.concatenate([[True], keys[1:] != keys[:-1]])
+    hp = np.flatnonzero(first)               # ascending head positions
+    hp = np.concatenate([hp, np.full(cap - hp.size, n - 1)])[:cap]
+
+    def uncovered(W, C):
+        m = (hp.size // C) * C
+        c2 = hp[:m].reshape(-1, C)
+        T = max(W + 1024, -(-n // 1024) * 1024)
+        kmax = c2.max(axis=1)
+        base = np.clip((kmax - W) & ~1023, 0, max(T - (W + 1024), 0))
+        delta = c2 - base[:, None]
+        return int((~((delta >= 0) & (delta < W + 1024)).all(axis=1)).sum())
+
+    W2, C2 = stride_params(n / cap, margin=2.0)
+    assert uncovered(W2, C2) == 0            # the shipped margin covers
+    W1, C1 = stride_params(n / cap, margin=1.0)
+    # margin 1 leaks uncovered chunks (scale-dependent count; at the real
+    # 12.6M-row shape enough of them overflow the patch budget and the
+    # whole directory fetch serializes)
+    assert uncovered(W1, C1) > 0
+
+
 @pytest.mark.parametrize("logp,logd,logn", [(20, 20, 24),   # exp-1 Crs
                                             (21, 21, 25),   # exp-1 2x Crs
                                             (24, 20, 24)])  # Csr-shaped
